@@ -1,0 +1,44 @@
+"""ssmtoybox_tpu — a TPU-native nonlinear sigma-point Kalman filtering and
+Bayesian-quadrature framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the reference
+SSMToybox (jacobnzw/SSMToybox): moment transforms (UT/SR/GH/FS + GPQ/BSQ/TPQ
+/GPQ+D), a state-space model zoo, Gaussian/Studentian filters and smoothers,
+and estimation metrics — built as pure functions + immutable pytrees so time
+recursions run in ``lax.scan``, Monte-Carlo studies batch through ``vmap``,
+and multi-chip scaling happens through ``jax.sharding`` over the MC axis.
+"""
+
+__version__ = "0.1.0"
+
+from . import utils
+from . import points
+from . import mtran
+from . import ssmod
+from . import ssinf
+from . import bq
+
+from .utils import GaussRV, StudentRV, GaussianMixtureRV
+from .mtran import (
+    LinearizationTransform, MonteCarloTransform, SigmaPointTransform,
+    SphericalRadialTransform, UnscentedTransform, GaussHermiteTransform,
+    FullySymmetricStudentTransform, TaylorGPQDTransform,
+)
+from .ssinf import (
+    ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
+    GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
+    FullySymmetricStudent, StudentProcessStudent,
+    gaussian_filter, gaussian_smoother, gaussian_filter_batch, studentian_filter,
+)
+
+__all__ = [
+    "utils", "points", "mtran", "ssmod", "ssinf", "bq",
+    "GaussRV", "StudentRV", "GaussianMixtureRV",
+    "LinearizationTransform", "MonteCarloTransform", "SigmaPointTransform",
+    "SphericalRadialTransform", "UnscentedTransform", "GaussHermiteTransform",
+    "FullySymmetricStudentTransform", "TaylorGPQDTransform",
+    "ExtendedKalman", "CubatureKalman", "UnscentedKalman", "GaussHermiteKalman",
+    "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
+    "FullySymmetricStudent", "StudentProcessStudent",
+    "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
+]

@@ -1,0 +1,354 @@
+"""BQ kernels and kernel expectations.
+
+TPU-first re-design of ``ssmtoybox/bq/bqkern.py``.  Every kernel is an
+immutable pytree; evaluation and the five Gaussian/Student-weighted kernel
+expectations
+
+    ``q = E_x[k(x, x_i)]``, ``Q = E_x[k(x, x_i) k(x, x_j)]``,
+    ``R = E_x[x k(x, x_i)]``, ``E_x[k(x, x)]``, ``E_{x,x'}[k(x, x')]``
+
+are pure jnp functions, so BQ weights are jit-able *and differentiable* — the
+NLML gradient comes from ``jax.grad`` instead of the reference's hand-coded
+``der_par`` (``bqkern.py:426-436``), and parameter-marginalizing filters can
+re-derive weights inside a compiled step.
+
+Diagonal length-scale matrices are exploited directly (the reference
+materializes dense ``diag`` matrices and inverts them, ``bqkern.py:345-424``);
+formulas are algebraically identical.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils.linalg import maha, pd_solve, symmetrize
+from ..utils.rand import multivariate_t
+
+__all__ = ["Kernel", "RBFGauss", "RBFStudent", "RQ", "get_kernel"]
+
+
+class Kernel(struct.PyTreeNode):
+    """Kernel base (cf. ``bqkern.py:11-292``).
+
+    ``par`` is a (dim_out, num_par) matrix; row i holds the parameters of the
+    i-th output's kernel.  ``jitter`` stabilizes Gram inversions
+    (``bqkern.py:29-35``).
+    """
+
+    par: jax.Array
+    dim: int = struct.field(pytree_node=False)
+    jitter: float = struct.field(pytree_node=False, default=1e-8)
+
+    # plain class attribute (not a dataclass field)
+    supports_parameter_estimation = False
+
+    # -- parameter plumbing ---------------------------------------------------
+    def get_parameters(self, par=None) -> jax.Array:
+        """Default to construction-time parameters (``bqkern.py:144-156``)."""
+        if par is None:
+            return self.par
+        return jnp.atleast_2d(jnp.asarray(par, dtype=self.par.dtype))
+
+    @property
+    def scale(self) -> jax.Array:
+        return self.par[:, 0]
+
+    # -- solves ---------------------------------------------------------------
+    def eval_inv_dot(self, par, x, b=None, scaling=True) -> jax.Array:
+        """``(K + jitter I)^-1 b`` via Cholesky, symmetrized when ``b`` is the
+        identity (``bqkern.py:96-120``)."""
+        K = self.eval(par, x, scaling=scaling)
+        n = x.shape[-1]
+        A = K + self.jitter * jnp.eye(n, dtype=K.dtype)
+        if b is None:
+            return symmetrize(pd_solve(A, jnp.eye(n, dtype=K.dtype)))
+        return pd_solve(A, b)
+
+    def eval_chol(self, par, x, scaling=True) -> jax.Array:
+        """Cholesky factor of the jittered kernel matrix (``bqkern.py:122-142``)."""
+        K = self.eval(par, x, scaling=scaling)
+        return jnp.linalg.cholesky(K + self.jitter * jnp.eye(x.shape[-1], dtype=K.dtype))
+
+    # -- interface ------------------------------------------------------------
+    def eval(self, par, x1, x2=None, diag=False, scaling=True):  # pragma: no cover
+        raise NotImplementedError
+
+    def exp_x_kx(self, par, x, scaling=False):  # pragma: no cover
+        raise NotImplementedError
+
+    def exp_x_xkx(self, par, x):  # pragma: no cover
+        raise NotImplementedError
+
+    def exp_x_kxkx(self, par_0, par_1, x, scaling=False):  # pragma: no cover
+        raise NotImplementedError
+
+    def exp_x_kxx(self, par):  # pragma: no cover
+        raise NotImplementedError
+
+    def exp_xy_kxy(self, par):  # pragma: no cover
+        raise NotImplementedError
+
+    def der_par(self, par_0, x):  # pragma: no cover
+        raise NotImplementedError
+
+
+def _unpack_rbf(par):
+    """``[s, l_1..l_D] -> (s, lengthscales)`` (cf. ``bqkern.py:438-454``)."""
+    par = jnp.asarray(par).reshape(-1)
+    return par[0], par[1:]
+
+
+class RBFGauss(Kernel):
+    """RBF kernel with closed-form Gaussian expectations (``bqkern.py:295-454``).
+
+    ``k(x, x') = s^2 exp(-0.5 (x - x')^T Lam^-1 (x - x'))`` with
+    ``Lam = diag(l^2)``; expectations are w.r.t. ``N(0, I)``.
+    """
+
+    supports_parameter_estimation = True
+
+    @classmethod
+    def create(cls, dim, par, jitter=1e-8, dtype=None):
+        par = jnp.atleast_2d(jnp.asarray(par, dtype=dtype))
+        assert par.shape[-1] == dim + 1
+        return cls(par=par, dim=dim, jitter=jitter)
+
+    def eval(self, par, x1, x2=None, diag=False, scaling=True):
+        if x2 is None:
+            x2 = x1
+        alpha, ell = _unpack_rbf(par)
+        alpha = alpha if scaling else 1.0
+        s1 = x1 / ell[:, None]
+        s2 = x2 / ell[:, None]
+        if diag:
+            dx = s1 - s2
+            return jnp.exp(2.0 * jnp.log(alpha) - 0.5 * jnp.sum(dx * dx, axis=0))
+        return jnp.exp(2.0 * jnp.log(alpha) - 0.5 * maha(s1.T, s2.T))
+
+    def exp_x_kx(self, par, x, scaling=False):
+        """Kernel mean map w.r.t. standard Gaussian (``bqkern.py:345-356``)."""
+        alpha, ell = _unpack_rbf(par)
+        alpha = alpha if scaling else 1.0
+        lam = ell ** 2
+        c = alpha ** 2 * jnp.prod(1.0 / lam + 1.0) ** -0.5
+        xl = x / (lam + 1.0)[:, None]
+        return c * jnp.exp(-0.5 * jnp.sum(x * xl, axis=0))
+
+    def exp_x_xkx(self, par, x):
+        """``E_x[x k(x, x_i)]`` (``bqkern.py:358-364``)."""
+        _, ell = _unpack_rbf(par)
+        lam = ell ** 2
+        mu_q = x / (lam + 1.0)[:, None]
+        q = self.exp_x_kx(par, x)
+        return q[None, :] * mu_q
+
+    def exp_x_kxkx(self, par_0, par_1, x, scaling=False):
+        """Kernel correlation matrix (``bqkern.py:366-415``)."""
+        alpha, ell = _unpack_rbf(par_0)
+        alpha_1, ell_1 = _unpack_rbf(par_1)
+        if not scaling:
+            alpha = alpha_1 = 1.0
+        inv_lam = ell ** -2
+        inv_lam_1 = ell_1 ** -2
+
+        xi = x / ell[:, None]
+        xi = 2.0 * jnp.log(alpha) - 0.5 * jnp.sum(xi * xi, axis=0)      # (N,)
+        xi_1 = x / ell_1[:, None]
+        xi_1 = 2.0 * jnp.log(alpha_1) - 0.5 * jnp.sum(xi_1 * xi_1, axis=0)
+
+        x_0 = inv_lam[:, None] * x
+        x_1 = inv_lam_1[:, None] * x
+        r = inv_lam + inv_lam_1 + 1.0                                    # diag of R^-1
+
+        n = (xi[:, None] + xi_1[None, :]) + 0.5 * maha(x_0.T, -x_1.T, V=jnp.diag(1.0 / r))
+        return jnp.prod(r) ** -0.5 * jnp.exp(n)
+
+    def exp_x_kxx(self, par):
+        alpha, _ = _unpack_rbf(par)
+        return alpha ** 2
+
+    def exp_xy_kxy(self, par):
+        alpha, ell = _unpack_rbf(par)
+        return alpha ** 2 * jnp.prod(2.0 * ell ** -2 + 1.0) ** -0.5
+
+    def der_par(self, par_0, x):
+        """dK/dpar stacked as (N, N, num_par) (cf. ``bqkern.py:426-436``).
+
+        Note: the reference returns d/d(log l) for the length-scales (it is
+        consumed by a log-parameterized optimizer); we return the same
+        quantities for drop-in parity.  Prefer ``jax.grad`` of the NLML.
+        """
+        par_0 = jnp.asarray(par_0).reshape(-1)
+        alpha, ell = par_0[0], par_0[1:]
+        K = self.eval(par_0, x)
+        d_alpha = 2.0 * K / alpha
+        dx2 = (x[:, None, :] - x[:, :, None]) ** 2
+        d_el = dx2 * (ell ** -2)[:, None, None] * K[None, ...]
+        return jnp.concatenate([d_alpha[..., None], jnp.moveaxis(d_el, 0, -1)], axis=-1)
+
+
+class RBFStudent(RBFGauss):
+    """RBF kernel with Student-weighted expectations via Monte Carlo
+    (``bqkern.py:457-536``).
+
+    Expectations are w.r.t. the standard Student density ``St(0, I, dof)`` and
+    are approximated with batched MC.  Unlike the reference (global NumPy
+    RNG), sampling is keyed and runs as a ``lax.scan`` of fused
+    sample->gram->reduce batches; see also the fused Pallas kernel in
+    :mod:`ssmtoybox_tpu.ops.pallas_ops` used for the combined path.
+    """
+
+    supports_parameter_estimation = False
+    dof: float = struct.field(pytree_node=False, default=4.0)
+    num_samples: int = struct.field(pytree_node=False, default=int(2e6))
+    num_batches: int = struct.field(pytree_node=False, default=1000)
+    seed: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def create(cls, dim, par, jitter=1e-8, dof=4.0, num_samples=int(2e6), num_batches=1000,
+               seed=0, dtype=None):
+        par = jnp.atleast_2d(jnp.asarray(par, dtype=dtype))
+        return cls(par=par, dim=dim, jitter=jitter, dof=float(dof),
+                   num_samples=int(num_samples), num_batches=int(num_batches), seed=int(seed))
+
+    # -- shared MC machinery ----------------------------------------------------
+    def _mc_scan(self, fold, init, num_batches=None):
+        """Accumulate ``fold(samples, acc)`` over seeded sample batches."""
+        num_batches = self.num_batches if num_batches is None else num_batches
+        batch_size = self.num_samples // num_batches
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), num_batches)
+        mean = jnp.zeros((self.dim,), dtype=self.par.dtype)
+        smat = jnp.eye(self.dim, dtype=self.par.dtype)
+
+        def body(acc, key):
+            xs = multivariate_t(key, mean, smat, self.dof, (batch_size,)).T  # (D, B)
+            return fold(xs, acc), None
+
+        acc, _ = jax.lax.scan(body, init, keys)
+        return acc / self.num_samples
+
+    def exp_x_kx(self, par, x, scaling=False):
+        num_pts = x.shape[-1]
+
+        def fold(xs, acc):
+            return acc + jnp.sum(self.eval(par, xs, x, scaling=scaling), axis=0)
+
+        return self._mc_scan(fold, jnp.zeros((num_pts,), dtype=x.dtype))
+
+    def exp_x_xkx(self, par, x, scaling=False):
+        dim, num_pts = x.shape
+
+        def fold(xs, acc):
+            k = self.eval(par, xs, x, scaling=scaling)       # (B, N)
+            return acc + xs @ k                              # (D, N)
+
+        return self._mc_scan(fold, jnp.zeros((dim, num_pts), dtype=x.dtype))
+
+    def exp_x_kxkx(self, par_0, par_1, x, scaling=False):
+        num_pts = x.shape[-1]
+
+        def fold(xs, acc):
+            k0 = self.eval(par_0, xs, x, scaling=scaling)    # (B, N)
+            k1 = self.eval(par_1, xs, x, scaling=scaling)
+            return acc + k1.T @ k0                           # (N, N) — MXU matmul
+
+        return self._mc_scan(fold, jnp.zeros((num_pts, num_pts), dtype=x.dtype))
+
+    def exp_x_kxx(self, par):
+        par = jnp.atleast_2d(jnp.asarray(par))
+        return par[0, 0] ** 2
+
+    def exp_xy_kxy(self, par):
+        # reference uses 10000 batches of 200 samples for this one (bqkern.py:529-536)
+        def fold(xs, acc):
+            return acc + jnp.sum(self.eval(par, xs, xs))
+
+        return self._mc_scan(fold, jnp.zeros((), dtype=self.par.dtype), num_batches=10000)
+
+
+def _unpack_rq(par):
+    par = jnp.asarray(par).reshape(-1)
+    return par[0], par[1], par[2:]
+
+
+class RQ(Kernel):
+    """Rational-quadratic kernel, approximate Student expectations
+    (``bqkern.py:539-745``).  Parameters per row: ``[s, alpha, l_1..l_D]``.
+    """
+
+    @classmethod
+    def create(cls, dim, par, jitter=1e-8, dtype=None):
+        par = jnp.atleast_2d(jnp.asarray(par, dtype=dtype))
+        assert par.shape[-1] == dim + 2
+        return cls(par=par, dim=dim, jitter=jitter)
+
+    def eval(self, par, x1, x2=None, diag=False, scaling=True):
+        if x2 is None:
+            x2 = x1
+        s, alpha, ell = _unpack_rq(par)
+        s = s if scaling else 1.0
+        s1 = x1 / ell[:, None]
+        s2 = x2 / ell[:, None]
+        if diag:
+            dx = s1 - s2
+            return s ** 2 * (1.0 + jnp.sum(dx * dx, axis=0) / (2.0 * alpha)) ** (-alpha)
+        return s ** 2 * (1.0 + maha(s1.T, s2.T) / (2.0 * alpha)) ** (-alpha)
+
+    def exp_x_kx(self, par, x, scaling=False):
+        s, alpha, ell = _unpack_rq(par)
+        s = s if scaling else 1.0
+        lam = ell ** 2
+        c = s ** 2 * jnp.prod(1.0 / lam + 1.0) ** -0.5
+        xl = x / (lam + 1.0)[:, None]
+        return c * (1.0 + jnp.sum(x * xl, axis=0) / (2.0 * alpha)) ** (-alpha)
+
+    def exp_x_xkx(self, par, x):
+        _, _, ell = _unpack_rq(par)
+        lam = ell ** 2
+        mu_q = x / (lam + 1.0)[:, None]
+        q = self.exp_x_kx(par, x)
+        return q[None, :] * mu_q
+
+    def exp_x_kxkx(self, par_0, par_1, x, scaling=False):
+        s, alpha, ell = _unpack_rq(par_0)
+        s_1, alpha_1, ell_1 = _unpack_rq(par_1)
+        if not scaling:
+            s = s_1 = 1.0
+        inv_lam = ell ** -2
+        inv_lam_1 = ell_1 ** -2
+
+        xi = x / ell[:, None]
+        xi = jnp.sum(xi * xi, axis=0)
+        xi_1 = x / ell_1[:, None]
+        xi_1 = jnp.sum(xi_1 * xi_1, axis=0)
+
+        x_0 = inv_lam[:, None] * x
+        x_1 = inv_lam_1[:, None] * x
+        r = inv_lam + inv_lam_1 + 1.0
+
+        n = (xi[:, None] + xi_1[None, :]) + maha(x_0.T, -x_1.T, V=jnp.diag(1.0 / r))
+        return s ** 2 * s_1 ** 2 * jnp.prod(r) ** -0.5 * (1.0 + n / (2.0 * alpha)) ** (-alpha)
+
+    def exp_x_kxx(self, par):
+        par = jnp.asarray(par).reshape(-1)
+        return par[0] ** 2
+
+    def exp_xy_kxy(self, par):
+        s, _, ell = _unpack_rq(par)
+        return s ** 2 * jnp.prod(2.0 * ell ** -2 + 1.0) ** -0.5
+
+    def der_par(self, par_0, x):
+        raise NotImplementedError("RQ.der_par unimplemented (parity: bqkern.py:727-728)")
+
+
+def get_kernel(dim: int, kernel: str, par, **kwargs) -> Kernel:
+    """String-keyed kernel factory (``bqmod.py:384-424``)."""
+    kernel = kernel.lower()
+    if kernel == "rbf":
+        return RBFGauss.create(dim, par, **kwargs)
+    if kernel == "rbf-student":
+        return RBFStudent.create(dim, par, **kwargs)
+    if kernel == "rq":
+        return RQ.create(dim, par, **kwargs)
+    raise ValueError(f"Kernel '{kernel}' not supported. Supported: rbf, rbf-student, rq.")

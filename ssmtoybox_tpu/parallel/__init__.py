@@ -1,0 +1,8 @@
+"""Multi-chip scaling: device meshes, sharded MC studies, distributed fitting."""
+from .mesh import make_mesh, shard_mc, filter_mc_sharded, mc_metrics_sharded
+from .fit import nlml_loss, make_fit_step, fit_kernel_params
+
+__all__ = [
+    "make_mesh", "shard_mc", "filter_mc_sharded", "mc_metrics_sharded",
+    "nlml_loss", "make_fit_step", "fit_kernel_params",
+]

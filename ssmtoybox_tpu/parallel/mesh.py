@@ -1,0 +1,90 @@
+"""Device-mesh scaling for Monte-Carlo filtering studies.
+
+The reference has no parallelism at all — MC studies are sequential Python
+loops (``research/bsq/bsq_ungm.py:133-138``, SURVEY §2.10).  The TPU-native
+scaling model introduced here follows the standard JAX recipe: pick a mesh,
+annotate shardings on the embarrassingly parallel axes, and let XLA GSPMD
+insert the collectives.
+
+Axes:
+* ``dp``  — data parallelism over MC trajectories (the dominant axis: the
+  filters' time recursion is inherently sequential, so throughput comes from
+  batching trajectories; collectives only appear in metric reductions).
+* ``fb``  — "filter bank" parallelism over kernel-parameter/filter variants
+  (a tensor-like axis: each bank member holds different weights).
+
+Per-step the filters need NO cross-device communication — trajectories are
+independent — so the only collectives XLA inserts are the final metric
+reductions (psum/pmean over the ``dp`` axis), which ride ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ssinf import gaussian_filter, FilterResult
+
+__all__ = ["make_mesh", "shard_mc", "filter_mc_sharded", "mc_metrics_sharded"]
+
+
+def make_mesh(dp: Optional[int] = None, fb: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (dp, fb) device mesh.
+
+    ``dp`` defaults to ``len(devices) // fb``.  On a single chip this is a
+    1x1 mesh and the annotations below are no-ops — the same program scales
+    to a pod slice without code changes.
+    """
+    devices = jax.devices() if devices is None else list(devices)
+    if dp is None:
+        dp = len(devices) // fb
+    mesh_devices = np.asarray(devices[: dp * fb]).reshape(dp, fb)
+    return Mesh(mesh_devices, axis_names=("dp", "fb"))
+
+
+def shard_mc(data_batch: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place an (M, ...) trajectory batch with the MC axis sharded over ``dp``."""
+    spec = P("dp", *([None] * (data_batch.ndim - 1)))
+    return jax.device_put(data_batch, NamedSharding(mesh, spec))
+
+
+def filter_mc_sharded(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, mesh: Mesh) -> FilterResult:
+    """Forward-filter an (M, dim_y, N) batch with trajectories sharded over
+    the mesh's ``dp`` axis.
+
+    Each device filters its local shard; no collectives are required (the
+    per-trajectory recursion is independent) — XLA confirms this by emitting
+    an all-gather only if the caller requests replicated outputs.
+    """
+    data_batch = shard_mc(jnp.asarray(data_batch), mesh)
+
+    @jax.jit
+    def run(md, mo, td, to, ys):
+        out = jax.vmap(lambda y: gaussian_filter(md, mo, td, to, y))(ys)
+        spec = P("dp", *([None] * (out.fi_mean.ndim - 1)))
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))), out)
+
+    return run(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch)
+
+
+def mc_metrics_sharded(x_true, result: FilterResult, mesh: Mesh):
+    """Sharded RMSE over an MC study: per-trajectory error locally, global
+    mean via an XLA-inserted cross-``dp`` reduction.
+
+    ``x_true`` is (M, D, N); ``result.fi_mean`` is (M, D, N).
+    """
+    x_true = shard_mc(jnp.asarray(x_true), mesh)
+
+    @jax.jit
+    def run(xt, fm):
+        se = jnp.sum((xt - fm) ** 2, axis=1)      # (M, N)
+        rmse_t = jnp.sqrt(jnp.mean(se, axis=1))   # (M,) time-averaged per run
+        return jnp.mean(rmse_t)                   # global mean -> psum over dp
+
+    return run(x_true, result.fi_mean)

@@ -1,0 +1,765 @@
+"""State-space inference: nonlinear Kalman filters and smoothers.
+
+TPU-first re-design of ``ssmtoybox/ssinf.py``.  The reference implements the
+filtering loop as stateful Python iteration over time steps
+(``ssinf.py:66-118``); here the recursion is a single ``jax.lax.scan`` over a
+pure step function, and Monte-Carlo studies batch thousands of trajectories
+through one compiled program with ``jax.vmap`` (see
+:func:`gaussian_filter_batch`).  The maths is the reference's exactly:
+
+* Gaussian time update with non-additive-noise augmentation, additive-noise
+  ``G Q G^T`` correction and cross-covariance trimming (``ssinf.py:254-295``);
+* Kalman measurement update via Cholesky-solved gain (``ssinf.py:297-323``);
+* Rauch-Tung-Striebel smoothing update (``ssinf.py:325-344``);
+* Studentian predict/update with scale-matrix and DOF bookkeeping
+  (``ssinf.py:634-736``).
+
+Behaviour-parity notes (deliberate quirks kept from the reference):
+
+1. ``backward_pass`` smooths time indices ``1..N-2`` only and seeds the first
+   smoothing update with the filtered estimate of step ``N`` against the
+   predictive moments of step ``N-1`` (``ssinf.py:120-147``).  We reproduce
+   this exactly by default; the textbook recursion is available with
+   ``rts_full=True``.
+2. The Studentian measurement update stores a scale-derived matrix in the
+   filtered covariance slot (FIXME at ``ssinf.py:726-727``) and trims
+   cross-covariances with ``dim_in`` instead of ``dim_state``
+   (``ssinf.py:696-698``).  Both are reproduced.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.linalg import block_diag, cho_factor, cho_solve, solve_triangular
+
+from .mtran import (
+    LinearizationTransform,
+    SphericalRadialTransform,
+    UnscentedTransform,
+    GaussHermiteTransform,
+    FullySymmetricStudentTransform,
+    TruncatedSphericalRadialTransform,
+    TruncatedUnscentedTransform,
+    TruncatedGaussHermiteTransform,
+    TaylorGPQDTransform,
+)
+
+__all__ = [
+    "FilterResult", "StudentFilterResult",
+    "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch",
+    "studentian_filter",
+    "StateSpaceInference", "GaussianInference", "StudentianInference",
+    "ExtendedKalman", "CubatureKalman", "UnscentedKalman", "GaussHermiteKalman",
+    "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
+    "FullySymmetricStudent", "StudentProcessStudent",
+    "TruncatedUnscentedKalman", "TruncatedCubatureKalman", "TruncatedGaussHermiteKalman",
+    "MultiOutputGaussianProcessKalman", "MultiOutputStudentProcessStudent",
+    "MarginalInference", "MarginalizedGaussianProcessKalman", "ExtendedKalmanGPQD",
+]
+
+
+# ---------------------------------------------------------------------------
+# Pure functional core — Gaussian
+# ---------------------------------------------------------------------------
+
+class FilterResult(struct.PyTreeNode):
+    """Stacked forward-pass moments, shapes follow the reference convention
+    (state-dim first, time last): ``fi_mean`` (D, N), ``fi_cov`` (D, D, N),
+    plus the predictive moments needed by the RTS backward pass
+    (``ssinf.py:105-107``)."""
+
+    fi_mean: jax.Array
+    fi_cov: jax.Array
+    pr_mean: jax.Array
+    pr_cov: jax.Array
+    pr_xx_cov: jax.Array
+
+
+class StudentFilterResult(struct.PyTreeNode):
+    fi_mean: jax.Array
+    fi_cov: jax.Array
+    fi_smat: jax.Array
+    dof_fi: jax.Array
+
+
+def _gaussian_time_update(mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, time,
+                          theta_dyn=None, theta_obs=None):
+    """One Gaussian time update (``ssinf.py:254-295``).
+
+    Returns predicted state moments, predicted measurement moments and the
+    (trimmed) cross-covariances.
+    """
+    q_mean, q_cov = mod_dyn.noise_rv.get_stats()[:2]
+    r_mean, r_cov = mod_obs.noise_rv.get_stats()[:2]
+    G = mod_dyn.noise_gain
+
+    # non-additive process noise: augment mean and covariance
+    if mod_dyn.noise_additive:
+        mean, cov = m, P
+    else:
+        mean = jnp.concatenate([m, q_mean])
+        cov = block_diag(P, q_cov)
+
+    x_mean_pr, x_cov_pr, xx_cov = _tf_apply(tf_dyn, mod_dyn.dyn_eval, mean, cov, time, theta_dyn)
+    if mod_dyn.noise_additive:
+        x_cov_pr = x_cov_pr + G @ q_cov @ G.T
+
+    # non-additive measurement noise: augment
+    if mod_obs.noise_additive:
+        mean, cov = x_mean_pr, x_cov_pr
+    else:
+        mean = jnp.concatenate([x_mean_pr, r_mean])
+        cov = block_diag(x_cov_pr, r_cov)
+
+    y_mean_pr, y_cov_pr, xy_cov = _tf_apply(tf_obs, mod_obs.meas_eval, mean, cov, time, theta_obs)
+    if mod_obs.noise_additive:
+        y_cov_pr = y_cov_pr + r_cov
+
+    # trim cross-covariances (no-op in the additive case), ``ssinf.py:293-295``
+    d = mod_dyn.dim_state
+    xy_cov = xy_cov[:, :d]
+    xx_cov = xx_cov[:, :d]
+    return x_mean_pr, x_cov_pr, xx_cov, y_mean_pr, y_cov_pr, xy_cov
+
+
+def _tf_apply(tf, f, mean, cov, time, theta):
+    """Apply a moment transform, forwarding explicit kernel parameters when
+    given (BQ transforms re-derive weights, ``bqmtran.py:93-95``)."""
+    if theta is not None:
+        return tf.apply(f, mean, cov, time, theta)
+    return tf.apply(f, mean, cov, time)
+
+
+def _kalman_update(x_mean_pr, x_cov_pr, y_mean_pr, y_cov_pr, xy_cov, y):
+    """Gaussian measurement update (``ssinf.py:297-323``)."""
+    gain = cho_solve(cho_factor(y_cov_pr, lower=True), xy_cov).T
+    x_mean_fi = x_mean_pr + gain @ (y - y_mean_pr)
+    x_cov_fi = x_cov_pr - gain @ y_cov_pr @ gain.T
+    return x_mean_fi, x_cov_fi
+
+
+def _smoothing_update(m_fi, P_fi, m_sm_next, P_sm_next, m_pr_next, P_pr_next, xx_cov_next):
+    """RTS smoothing update (``ssinf.py:325-344``)."""
+    gain = cho_solve(cho_factor(P_pr_next, lower=True), xx_cov_next).T
+    m_sm = m_fi + gain @ (m_sm_next - m_pr_next)
+    P_sm = P_fi + gain @ (P_sm_next - P_pr_next) @ gain.T
+    return m_sm, P_sm
+
+
+def gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
+                    init_mean=None, init_cov=None) -> FilterResult:
+    """Run the full Gaussian forward pass as one ``lax.scan``.
+
+    Equivalent to ``StateSpaceInference.forward_pass`` (``ssinf.py:66-118``).
+    ``data`` is (dim_y, N); measurement ``k`` (1-based) is processed with the
+    dynamics evaluated at time ``k-1``, like the reference.
+    """
+    m0, P0 = mod_dyn.init_rv.get_stats()[:2]
+    m0 = m0 if init_mean is None else init_mean
+    P0 = P0 if init_cov is None else init_cov
+    n_steps = data.shape[-1]
+
+    def step(carry, inp):
+        m, P = carry
+        y, k = inp
+        m_pr, P_pr, xx, y_pr, S, xy = _gaussian_time_update(
+            mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k - 1)
+        m_fi, P_fi = _kalman_update(m_pr, P_pr, y_pr, S, xy, y)
+        return (m_fi, P_fi), (m_pr, P_pr, xx, m_fi, P_fi)
+
+    ks = jnp.arange(1, n_steps + 1)
+    _, (pr_m, pr_P, pr_xx, fi_m, fi_P) = jax.lax.scan(step, (m0, P0), (data.T, ks))
+    return FilterResult(
+        fi_mean=jnp.moveaxis(fi_m, 0, -1),
+        fi_cov=jnp.moveaxis(fi_P, 0, -1),
+        pr_mean=jnp.moveaxis(pr_m, 0, -1),
+        pr_cov=jnp.moveaxis(pr_P, 0, -1),
+        pr_xx_cov=jnp.moveaxis(pr_xx, 0, -1),
+    )
+
+
+def gaussian_smoother(result: FilterResult, rts_full: bool = False):
+    """RTS backward pass over stacked forward moments (``ssinf.py:120-147``).
+
+    With ``rts_full=False`` (default) the reference's indexing is reproduced
+    exactly: entries ``N-1`` and ``N`` keep their filtered values and the first
+    smoothing step combines ``fi[N]`` with the predictive moments of step
+    ``N-1`` (see module docstring, quirk 1).  With ``rts_full=True`` the
+    textbook recursion smooths every step from the final filtered estimate.
+    """
+    fi_m = jnp.moveaxis(result.fi_mean, -1, 0)     # (N, D)
+    fi_P = jnp.moveaxis(result.fi_cov, -1, 0)      # (N, D, D)
+    pr_m = jnp.moveaxis(result.pr_mean, -1, 0)
+    pr_P = jnp.moveaxis(result.pr_cov, -1, 0)
+    pr_xx = jnp.moveaxis(result.pr_xx_cov, -1, 0)
+    n = fi_m.shape[0]
+
+    def step(carry, inp):
+        m_next, P_next = carry
+        m_fi, P_fi, m_pr_next, P_pr_next, xx_next = inp
+        m_sm, P_sm = _smoothing_update(m_fi, P_fi, m_next, P_next,
+                                       m_pr_next, P_pr_next, xx_next)
+        return (m_sm, P_sm), (m_sm, P_sm)
+
+    if rts_full:
+        # smooth indices n-2 .. 0 seeded from the last filtered estimate
+        xs = (fi_m[:-1], fi_P[:-1], pr_m[1:], pr_P[1:], pr_xx[1:])
+        init = (fi_m[-1], fi_P[-1])
+        _, (sm_m, sm_P) = jax.lax.scan(step, init, xs, reverse=True)
+        sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
+        sm_P = jnp.concatenate([sm_P, fi_P[-1:]], axis=0)
+    else:
+        # reference semantics: smooth indices n-3 .. 0, seed with fi[n-1]
+        # paired with predictive moments of step n-2 (ssinf.py:137-145)
+        xs = (fi_m[:n - 2], fi_P[:n - 2], pr_m[1:n - 1], pr_P[1:n - 1], pr_xx[1:n - 1])
+        init = (fi_m[-1], fi_P[-1])
+        _, (sm_m, sm_P) = jax.lax.scan(step, init, xs, reverse=True)
+        sm_m = jnp.concatenate([sm_m, fi_m[n - 2:]], axis=0)
+        sm_P = jnp.concatenate([sm_P, fi_P[n - 2:]], axis=0)
+
+    return jnp.moveaxis(sm_m, 0, -1), jnp.moveaxis(sm_P, 0, -1)
+
+
+def gaussian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
+                          init_mean=None, init_cov=None) -> FilterResult:
+    """Vectorized forward pass over a batch of measurement trajectories.
+
+    ``data_batch`` is (M, dim_y, N); all M trajectories run in one compiled
+    program — this is the TPU replacement for the sequential MC loops of the
+    research scripts (``research/bsq/bsq_ungm.py:133-138``).
+    """
+    return jax.vmap(
+        lambda ys: gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, ys, init_mean, init_cov)
+    )(data_batch)
+
+
+# ---------------------------------------------------------------------------
+# Pure functional core — Studentian
+# ---------------------------------------------------------------------------
+
+def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
+                      dof: float = 4.0, fixed_dof: bool = True) -> StudentFilterResult:
+    """Student-t forward pass (``ssinf.py:555-736``) as one ``lax.scan``.
+
+    Tracks the filtered mean, the (pseudo-)covariance, the scale matrix and
+    the degrees of freedom.  Parity quirks preserved — see module docstring.
+    """
+    if dof <= 2.0:
+        dof = 4.0
+
+    x0_mean, x0_smat, x0_dof = mod_dyn.init_rv.get_stats()
+    q_mean, q_cov, q_dof = mod_dyn.noise_rv.get_stats()
+    r_mean, r_cov, r_dof = mod_obs.noise_rv.get_stats()
+    q_gain = mod_dyn.noise_gain
+
+    init_scale = (dof - 2.0) / dof
+    q_smat = init_scale * q_cov
+    r_smat = init_scale * r_cov
+    x_smat_0 = init_scale * x0_smat
+
+    dim_trim = mod_dyn.dim_in   # reference trims with dim_in (ssinf.py:696-698)
+    n_steps = data.shape[-1]
+
+    def step(carry, inp):
+        m, smat, dof_fi = carry
+        y, k = inp
+
+        if fixed_dof:
+            dof_pr = jnp.minimum(jnp.minimum(dof_fi, q_dof), r_dof)
+            scale = (dof_pr - 2.0) / dof_pr
+        else:
+            scale = (dof - 2.0) / dof
+
+        # ---- time update (ssinf.py:662-698): transforms act on scale matrices
+        if mod_dyn.noise_additive:
+            mean, sm = m, smat
+        else:
+            mean = jnp.concatenate([m, q_mean])
+            sm = block_diag(smat, q_smat)
+        x_mean_pr, x_cov_pr, xx_cov = tf_dyn.apply(mod_dyn.dyn_eval, mean, sm, k - 1)
+        x_smat_pr = scale * x_cov_pr
+        if mod_dyn.noise_additive:
+            x_cov_pr = x_cov_pr + q_gain @ q_cov @ q_gain.T
+            x_smat_pr = x_smat_pr + q_gain @ q_smat @ q_gain.T
+
+        if mod_obs.noise_additive:
+            mean, sm = x_mean_pr, x_smat_pr
+        else:
+            mean = jnp.concatenate([x_mean_pr, r_mean])
+            sm = block_diag(x_smat_pr, r_smat)
+        y_mean_pr, y_cov_pr, xy_cov = tf_obs.apply(mod_obs.meas_eval, mean, sm, k - 1)
+        y_smat_pr = scale * y_cov_pr
+        xy_smat = scale * xy_cov
+        if mod_obs.noise_additive:
+            y_cov_pr = y_cov_pr + r_cov
+            y_smat_pr = y_smat_pr + r_smat
+
+        xy_smat = xy_smat[:, :dim_trim]
+
+        # ---- measurement update (ssinf.py:700-736)
+        gain = cho_solve(cho_factor(y_smat_pr, lower=True), xy_smat).T
+        x_mean_fi = x_mean_pr + gain @ (y - y_mean_pr)
+        # NOTE: scale-derived matrix stored as covariance — reference FIXME
+        x_cov_fi = x_smat_pr - gain @ y_smat_pr @ gain.T
+
+        delta = solve_triangular(jnp.linalg.cholesky(y_smat_pr), y - y_mean_pr, lower=True)
+        scale_fi = (dof + delta @ delta) / (dof + mod_obs.dim_out)
+        x_smat_fi = scale_fi * x_cov_fi
+        dof_next = dof_fi + mod_obs.dim_out
+
+        return (x_mean_fi, x_smat_fi, dof_next), (x_mean_fi, x_cov_fi, x_smat_fi, dof_next)
+
+    ks = jnp.arange(1, n_steps + 1)
+    init = (x0_mean, x_smat_0, jnp.asarray(x0_dof, dtype=x0_mean.dtype))
+    _, (fi_m, fi_P, fi_S, dofs) = jax.lax.scan(step, init, (data.T, ks))
+    return StudentFilterResult(
+        fi_mean=jnp.moveaxis(fi_m, 0, -1),
+        fi_cov=jnp.moveaxis(fi_P, 0, -1),
+        fi_smat=jnp.moveaxis(fi_S, 0, -1),
+        dof_fi=dofs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class API mirroring the reference (thin wrappers over the pure core)
+# ---------------------------------------------------------------------------
+
+class StateSpaceInference:
+    """Stateful convenience wrapper with the reference's API surface
+    (``forward_pass`` / ``backward_pass`` / ``reset``, ``ssinf.py:19-212``).
+
+    All computation is delegated to jitted pure functions; instances only
+    cache the stacked moments between the passes.
+    """
+
+    def __init__(self, mod_dyn, mod_obs, tf_dyn, tf_obs):
+        self.mod_dyn = mod_dyn
+        self.mod_obs = mod_obs
+        self.tf_dyn = tf_dyn
+        self.tf_obs = tf_obs
+        self.flags = {"filtered": False, "smoothed": False}
+        self._result = None
+        self.fi_mean = self.fi_cov = None
+        self.sm_mean = self.sm_cov = None
+
+    def get_flag(self, key):
+        return self.flags[key]
+
+    def set_flag(self, key, value):
+        self.flags[key] = value
+
+    def forward_pass(self, data):
+        data = jnp.asarray(data)
+        self._result = self._run_forward(data)
+        self.fi_mean, self.fi_cov = self._result.fi_mean, self._result.fi_cov
+        self.set_flag("filtered", True)
+        return self.fi_mean, self.fi_cov
+
+    def backward_pass(self, rts_full: bool = False):
+        assert self.get_flag("filtered"), "forward_pass must run first"
+        self.sm_mean, self.sm_cov = self._run_backward(self._result, rts_full)
+        self.set_flag("smoothed", True)
+        return self.sm_mean, self.sm_cov
+
+    def reset(self):
+        self._result = None
+        self.fi_mean = self.fi_cov = None
+        self.sm_mean = self.sm_cov = None
+        self.flags = {"filtered": False, "smoothed": False}
+
+    # -- hooks ----------------------------------------------------------------
+    def _run_forward(self, data):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def _run_backward(self, result, rts_full):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@jax.jit
+def _jit_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data):
+    return gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data)
+
+
+@jax.jit
+def _jit_gaussian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch):
+    return gaussian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch)
+
+
+@jax.jit
+def _jit_gaussian_smoother(result):
+    return gaussian_smoother(result, rts_full=False)
+
+
+@jax.jit
+def _jit_gaussian_smoother_full(result):
+    return gaussian_smoother(result, rts_full=True)
+
+
+class GaussianInference(StateSpaceInference):
+    """Gaussian filter/smoother wrapper (``ssinf.py:215-344``)."""
+
+    def _run_forward(self, data):
+        return _jit_gaussian_filter(self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data)
+
+    def _run_backward(self, result, rts_full):
+        if rts_full:
+            return _jit_gaussian_smoother_full(result)
+        return _jit_gaussian_smoother(result)
+
+    def forward_pass_batch(self, data_batch):
+        """Filter a whole (M, dim_y, N) batch of trajectories in one program."""
+        return _jit_gaussian_filter_batch(self.mod_dyn, self.mod_obs,
+                                          self.tf_dyn, self.tf_obs, jnp.asarray(data_batch))
+
+
+class StudentianInference(StateSpaceInference):
+    """Studentian filter wrapper (``ssinf.py:555-740``).
+
+    The reference leaves the Student smoother unimplemented
+    (``ssinf.py:738-740``); ``backward_pass`` raises accordingly.
+    """
+
+    def __init__(self, mod_dyn, mod_obs, tf_dyn, tf_obs, dof=4.0, fixed_dof=True):
+        super().__init__(mod_dyn, mod_obs, tf_dyn, tf_obs)
+        if dof <= 2.0:
+            dof = 4.0
+        self.dof = float(dof)
+        self.fixed_dof = bool(fixed_dof)
+
+    def _run_forward(self, data):
+        fn = jax.jit(studentian_filter, static_argnames=("dof", "fixed_dof"))
+        return fn(self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
+                  dof=self.dof, fixed_dof=self.fixed_dof)
+
+    def forward_pass_batch(self, data_batch):
+        fn = jax.jit(
+            lambda md, mo, td, to, ys: jax.vmap(
+                lambda y: studentian_filter(md, mo, td, to, y, self.dof, self.fixed_dof))(ys))
+        return fn(self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, jnp.asarray(data_batch))
+
+    def _run_backward(self, result, rts_full):
+        raise NotImplementedError("Student smoother is not implemented (parity with ssinf.py:738-740)")
+
+
+# ---------------------------------------------------------------------------
+# Concrete filters — classical transforms (``ssinf.py:347-402``)
+# ---------------------------------------------------------------------------
+
+class ExtendedKalman(GaussianInference):
+    """EKF via AD Jacobians (``ssinf.py:347-357``)."""
+
+    def __init__(self, dyn, obs):
+        tf = LinearizationTransform.create(dyn.dim_in)
+        th = LinearizationTransform.create(obs.dim_in)
+        super().__init__(dyn, obs, tf, th)
+
+
+class CubatureKalman(GaussianInference):
+    """CKF (``ssinf.py:360-366``)."""
+
+    def __init__(self, dyn, obs):
+        tf = SphericalRadialTransform(dyn.dim_in)
+        th = SphericalRadialTransform(obs.dim_in)
+        super().__init__(dyn, obs, tf, th)
+
+
+class UnscentedKalman(GaussianInference):
+    """UKF (``ssinf.py:369-386``)."""
+
+    def __init__(self, dyn, obs, kappa=None, alpha=1.0, beta=2.0):
+        tf = UnscentedTransform(dyn.dim_in, kappa=kappa, alpha=alpha, beta=beta)
+        th = UnscentedTransform(obs.dim_in, kappa=kappa, alpha=alpha, beta=beta)
+        super().__init__(dyn, obs, tf, th)
+
+
+class GaussHermiteKalman(GaussianInference):
+    """GHKF (``ssinf.py:389-402``)."""
+
+    def __init__(self, dyn, obs, deg=3):
+        tf = GaussHermiteTransform(dyn.dim_in, degree=deg)
+        th = GaussHermiteTransform(obs.dim_in, degree=deg)
+        super().__init__(dyn, obs, tf, th)
+
+
+# ---------------------------------------------------------------------------
+# Concrete filters — BQ transforms (``ssinf.py:405-552``)
+# ---------------------------------------------------------------------------
+
+class GaussianProcessKalman(GaussianInference):
+    """GPQKF (``ssinf.py:405-451``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, kernel="rbf", points="ut",
+                 point_hyp=None):
+        from .bq.transforms import GaussianProcessTransform
+        t_dyn = GaussianProcessTransform.create(dyn.dim_in, dyn.dim_state, kern_par_dyn,
+                                                kernel, points, point_hyp)
+        t_obs = GaussianProcessTransform.create(obs.dim_in, obs.dim_out, kern_par_obs,
+                                                kernel, points, point_hyp)
+        super().__init__(dyn, obs, t_dyn, t_obs)
+
+
+class BayesSardKalman(GaussianInference):
+    """BSQKF (``ssinf.py:454-500``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, mulind_dyn=2, mulind_obs=2,
+                 points="ut", point_hyp=None):
+        from .bq.transforms import BayesSardTransform
+        t_dyn = BayesSardTransform.create(dyn.dim_in, dyn.dim_state, kern_par_dyn,
+                                          mulind_dyn, points, point_hyp)
+        t_obs = BayesSardTransform.create(obs.dim_in, obs.dim_out, kern_par_obs,
+                                          mulind_obs, points, point_hyp)
+        super().__init__(dyn, obs, t_dyn, t_obs)
+
+
+class StudentProcessKalman(GaussianInference):
+    """TPQKF (``ssinf.py:503-552``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, kernel="rbf", points="ut",
+                 point_hyp=None, nu=3.0):
+        from .bq.transforms import StudentTProcessTransform
+        t_dyn = StudentTProcessTransform.create(dyn.dim_in, 1, kern_par_dyn, kernel,
+                                                points, point_hyp, nu=nu)
+        t_obs = StudentTProcessTransform.create(obs.dim_in, 1, kern_par_obs, kernel,
+                                                points, point_hyp, nu=nu)
+        super().__init__(dyn, obs, t_dyn, t_obs)
+
+
+# ---------------------------------------------------------------------------
+# Concrete filters — Studentian (``ssinf.py:743-833``)
+# ---------------------------------------------------------------------------
+
+class FullySymmetricStudent(StudentianInference):
+    """Fully-symmetric Student filter (``ssinf.py:743-775``)."""
+
+    def __init__(self, dyn, obs, degree=3, kappa=None, dof=4.0, fixed_dof=True):
+        dyn_dof = min(dyn.init_rv.dof, dyn.noise_rv.dof)
+        obs_dof = min(dyn_dof, obs.noise_rv.dof)
+        t_dyn = FullySymmetricStudentTransform(dyn.dim_in, degree, kappa, dyn_dof)
+        t_obs = FullySymmetricStudentTransform(obs.dim_in, degree, kappa, obs_dof)
+        super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
+
+
+class StudentProcessStudent(StudentianInference):
+    """TPQSF: t-process quadrature Student filter (``ssinf.py:778-833``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, point_par=None, dof=4.0,
+                 fixed_dof=True, dof_tp=4.0):
+        from .bq.transforms import StudentTProcessTransform
+        q_dof, r_dof = dyn.noise_rv.dof, obs.noise_rv.dof
+        point_par = dict(point_par or {})
+        point_par_dyn = dict(point_par, dof=q_dof)
+        point_par_obs = dict(point_par, dof=r_dof)
+        t_dyn = StudentTProcessTransform.create(dyn.dim_in, 1, kern_par_dyn, "rbf-student",
+                                                "fs", point_par_dyn, nu=dof_tp)
+        t_obs = StudentTProcessTransform.create(obs.dim_in, 1, kern_par_obs, "rbf-student",
+                                                "fs", point_par_obs, nu=dof_tp)
+        super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
+
+
+# ---------------------------------------------------------------------------
+# Concrete filters — truncated transforms (``ssinf.py:844-901``)
+# ---------------------------------------------------------------------------
+
+class TruncatedUnscentedKalman(GaussianInference):
+    """(``ssinf.py:844-860``)"""
+
+    def __init__(self, dyn, obs, kappa=None, alpha=1.0, beta=2.0):
+        tf = UnscentedTransform(dyn.dim_in, kappa, alpha, beta)
+        th = TruncatedUnscentedTransform(obs.dim_state, obs.dim_in, kappa, alpha, beta)
+        super().__init__(dyn, obs, tf, th)
+
+
+class TruncatedCubatureKalman(GaussianInference):
+    """(``ssinf.py:863-879``)"""
+
+    def __init__(self, dyn, obs):
+        tf = SphericalRadialTransform(dyn.dim_in)
+        th = TruncatedSphericalRadialTransform(obs.dim_state, obs.dim_in)
+        super().__init__(dyn, obs, tf, th)
+
+
+class TruncatedGaussHermiteKalman(GaussianInference):
+    """(``ssinf.py:882-901``)"""
+
+    def __init__(self, dyn, obs, degree=3):
+        tf = GaussHermiteTransform(dyn.dim_in, degree)
+        th = TruncatedGaussHermiteTransform(obs.dim_state, dyn.dim_in, degree)
+        super().__init__(dyn, obs, tf, th)
+
+
+# ---------------------------------------------------------------------------
+# Concrete filters — multi-output BQ (``ssinf.py:911-1024``)
+# ---------------------------------------------------------------------------
+
+class MultiOutputGaussianProcessKalman(GaussianInference):
+    """GPQKF with a multi-output GP model (``ssinf.py:911-961``).
+
+    EXPERIMENTAL in the reference (known PD-loss issues, ``ssinf.py:953-955``).
+    """
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, kernel="rbf", points="ut",
+                 point_hyp=None):
+        from .bq.transforms import MultiOutputGaussianProcessTransform
+        t_dyn = MultiOutputGaussianProcessTransform.create(dyn.dim_in, dyn.dim_state,
+                                                           kern_par_dyn, kernel, points, point_hyp)
+        t_obs = MultiOutputGaussianProcessTransform.create(obs.dim_in, obs.dim_out,
+                                                           kern_par_obs, kernel, points, point_hyp)
+        super().__init__(dyn, obs, t_dyn, t_obs)
+
+
+class MultiOutputStudentProcessStudent(StudentianInference):
+    """TPQSF with a multi-output TP model (``ssinf.py:964-1024``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, point_par=None, dof=4.0,
+                 fixed_dof=True, dof_tp=4.0):
+        from .bq.transforms import MultiOutputStudentTProcessTransform
+        q_dof, r_dof = dyn.noise_rv.dof, obs.noise_rv.dof
+        point_par = dict(point_par or {})
+        point_par_dyn = dict(point_par, dof=q_dof)
+        point_par_obs = dict(point_par, dof=r_dof)
+        t_dyn = MultiOutputStudentTProcessTransform.create(dyn.dim_in, dyn.dim_state,
+                                                           kern_par_dyn, "rbf-student", "fs",
+                                                           point_par_dyn, nu=dof_tp)
+        t_obs = MultiOutputStudentTProcessTransform.create(obs.dim_in, obs.dim_out,
+                                                           kern_par_obs, "rbf-student", "fs",
+                                                           point_par_obs, nu=dof_tp)
+        super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
+
+
+# ---------------------------------------------------------------------------
+# Marginalized-parameter inference (``ssinf.py:1034-1292``)
+# ---------------------------------------------------------------------------
+
+class MarginalInference(GaussianInference):
+    """Gaussian inference with marginalized transform parameters
+    (``ssinf.py:1034-1273``).
+
+    Each measurement update performs (1) a Laplace approximation of the
+    log-parameter posterior via BFGS on the negative log-posterior and (2) a
+    spherical-radial quadrature over parameter space, collapsing the Gaussian
+    mixture.  The inner optimizer resists ``lax.scan`` (data-dependent
+    iteration counts), so — as planned in SURVEY §7 — the time loop runs in
+    Python while every objective/likelihood evaluation is a jitted, AD-backed
+    pure function (scipy BFGS consumes jitted value+grad).
+    """
+
+    def __init__(self, dyn, obs, tf_dyn, tf_obs, par_mean=None, par_cov=None):
+        super().__init__(dyn, obs, tf_dyn, tf_obs)
+        import numpy as np
+        from . import points as pts_mod
+
+        self.param_dyn_dim = self.mod_dyn.dim_in + 1
+        self.param_obs_dim = self.mod_obs.dim_state + 1
+        self.param_dim = self.param_dyn_dim + self.param_obs_dim
+
+        self.param_prior_mean = (jnp.zeros(self.param_dim) if par_mean is None
+                                 else jnp.asarray(par_mean))
+        self.param_prior_cov = (jnp.eye(self.param_dim) if par_cov is None
+                                else jnp.asarray(par_cov))
+        self.param_mean = self.param_prior_mean
+        self.param_cov = self.param_prior_cov
+        self.param_jitter = 1e-8 * jnp.eye(self.param_dim)
+
+        self.param_upts = jnp.asarray(pts_mod.sr_points(self.param_dim))
+        self.param_wts = jnp.asarray(pts_mod.sr_weights(self.param_dim))
+        self.param_pts_num = self.param_upts.shape[1]
+
+        # jitted primitives -------------------------------------------------
+        def _predict_meas(theta, m, P, k):
+            """Predicted measurement moments given log-params (ssinf.py:1160-1203)."""
+            theta_dyn = jnp.exp(theta[: self.param_dyn_dim])
+            theta_obs = jnp.exp(theta[self.param_dyn_dim:])
+            m_pr, P_pr, xx, y_pr, S, xy = _gaussian_time_update(
+                self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, m, P, k,
+                theta_dyn, theta_obs)
+            return m_pr, P_pr, xx, y_pr, S, xy
+
+        def _neg_log_post(theta, y, m, P, k, pm, pc):
+            from .utils.linalg import pd_logdet
+            _, _, _, y_pr, S, _ = _predict_meas(theta, m, P, k)
+            dy = y - y_pr
+            loglik = -0.5 * (pd_logdet(S) + dy @ cho_solve(cho_factor(S, lower=True), dy)
+                             + y.shape[0] * jnp.log(2 * jnp.pi))
+            dth = theta - pm
+            logprior = -0.5 * (pd_logdet(pc) + dth @ cho_solve(cho_factor(pc, lower=True), dth)
+                               + theta.shape[0] * jnp.log(2 * jnp.pi))
+            return -(loglik + logprior)
+
+        def _posterior_moments(theta, y, m, P, k):
+            m_pr, P_pr, _, y_pr, S, xy = _predict_meas(theta, m, P, k)
+            m_fi, P_fi = _kalman_update(m_pr, P_pr, y_pr, S, xy, y)
+            return m_fi, P_fi
+
+        self._neg_log_post = jax.jit(jax.value_and_grad(_neg_log_post))
+        self._posterior_moments = jax.jit(jax.vmap(_posterior_moments,
+                                                   in_axes=(1, None, None, None, None)))
+
+    def reset(self):
+        super().reset()
+        self.param_mean = self.param_prior_mean
+        self.param_cov = self.param_prior_cov
+
+    def _laplace_step(self, y, m, P, k):
+        """BFGS Laplace approximation of the parameter posterior
+        (``ssinf.py:1247-1273``)."""
+        import numpy as np
+        from scipy.optimize import minimize
+
+        pm, pc = self.param_mean, self.param_cov
+
+        def obj(theta):
+            v, g = self._neg_log_post(jnp.asarray(theta), y, m, P, k, pm, pc)
+            return float(v), np.asarray(g, dtype=float)
+
+        res = minimize(obj, np.asarray(pm, dtype=float), method="BFGS", jac=True)
+        self.param_mean = jnp.asarray(res.x)
+        self.param_cov = jnp.asarray(res.hess_inv) + self.param_jitter
+
+    def forward_pass(self, data):
+        data = jnp.asarray(data)
+        n_steps = data.shape[-1]
+        m, P = self.mod_dyn.init_rv.get_stats()[:2]
+        fi_m, fi_P = [], []
+        for k in range(1, n_steps + 1):
+            y = data[:, k - 1]
+            self._laplace_step(y, m, P, k - 1)
+            chol_pc = jnp.linalg.cholesky(self.param_cov)
+            theta_pts = self.param_mean[:, None] + chol_pc @ self.param_upts
+            means, covs = self._posterior_moments(theta_pts, y, m, P, k - 1)
+            m = jnp.einsum("pi,p->i", means, self.param_wts)
+            P = jnp.einsum("pij,p->ij", covs, self.param_wts)
+            fi_m.append(m)
+            fi_P.append(P)
+        self.fi_mean = jnp.stack(fi_m, axis=-1)
+        self.fi_cov = jnp.stack(fi_P, axis=-1)
+        self.set_flag("filtered", True)
+        return self.fi_mean, self.fi_cov
+
+    def backward_pass(self, rts_full=False):
+        raise NotImplementedError("MarginalInference does not define a smoother")
+
+
+class MarginalizedGaussianProcessKalman(MarginalInference):
+    """GPQKF with marginalized kernel parameters (``ssinf.py:1276-1292``)."""
+
+    def __init__(self, dyn, obs, kernel="rbf", points="ut", point_hyp=None,
+                 par_mean=None, par_cov=None):
+        import numpy as np
+        from .bq.transforms import GaussianProcessTransform
+        kpar_dyn = np.ones((1, dyn.dim_in + 1))
+        kpar_obs = np.ones((1, obs.dim_state + 1))
+        t_dyn = GaussianProcessTransform.create(dyn.dim_in, 1, kpar_dyn, kernel, points, point_hyp)
+        t_obs = GaussianProcessTransform.create(obs.dim_state, 1, kpar_obs, kernel, points, point_hyp)
+        super().__init__(dyn, obs, t_dyn, t_obs, par_mean, par_cov)
+
+
+class ExtendedKalmanGPQD(GaussianInference):
+    """EKF via single-point GPQ+D (``ssinf.py:1302-1319``)."""
+
+    def __init__(self, dyn, obs, rbf_par_dyn, rbf_par_obs):
+        tf = TaylorGPQDTransform.create(dyn.dim_in, rbf_par_dyn)
+        th = TaylorGPQDTransform.create(obs.dim_state, rbf_par_obs)
+        super().__init__(dyn, obs, tf, th)

@@ -1,0 +1,77 @@
+"""Combinatorics + multivariate-monomial helpers.
+
+Covers ``n_sum_k`` and the Numba-JIT ``vandermonde`` of the reference
+(``ssmtoybox/utils.py:459-502``).  ``n_sum_k`` is trace-time combinatorics and
+stays in NumPy (its output is a static constant baked into the compiled
+program); ``vandermonde`` is the compute-path function and is provided both as
+a one-liner jnp broadcast (XLA fuses it) and as a Pallas TPU kernel for large
+point sets (see :mod:`ssmtoybox_tpu.ops.pallas_ops`).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["n_sum_k", "vandermonde", "vandermonde_np"]
+
+
+def n_sum_k(n: int, k: int) -> np.ndarray:
+    """All n-tuples of non-negative ints summing to k, as a (n, count) matrix.
+
+    Behavioural parity with ``ssmtoybox/utils.py:459-475`` (same column order),
+    since BSQ weights depend on the multi-index ordering through the
+    Vandermonde matrix.
+    """
+    assert k >= 0
+    if k == 0:
+        return np.zeros((n, 1), dtype=np.int64)
+    if k == 1:
+        return np.eye(n, dtype=np.int64)
+    a = n_sum_k(n, k - 1)
+    eye = np.eye(n, dtype=np.int64)
+    cols = []
+    for i in range(n - 1):
+        for j in range(i, n):
+            cols.append(a[:, i] + eye[:, j])
+    temp = np.stack(cols, axis=1) if cols else np.zeros((n, 0), dtype=np.int64)
+    return np.hstack((temp, a[:, n - 1:] + eye[:, -1, None]))
+
+
+def total_degree_multi_index(dim: int, degree: int) -> np.ndarray:
+    """Multi-index matrix of all monomials with total degree <= ``degree``.
+
+    Mirrors the multi-index construction in ``BayesSardModel.__init__``
+    (``ssmtoybox/bq/bqmod.py:624-629``).
+    """
+    return np.hstack([n_sum_k(dim, td) for td in range(degree + 1)])
+
+
+def vandermonde(mul_ind, x) -> jax.Array:
+    """Vandermonde matrix of multivariate monomials, traced for XLA.
+
+    Parity with the Numba kernel at ``ssmtoybox/utils.py:478-502``:
+    ``vdm[n, b] = prod_d x[d, n] ** mul_ind[d, b]``.
+
+    The reference accelerates this with Numba; on TPU the broadcasted
+    power+product below fuses into a single VPU loop under XLA.  ``0**0`` is 1
+    under ``jnp.power`` for integer exponents, matching NumPy.
+
+    Parameters
+    ----------
+    mul_ind : (D, Q) integer array of multi-indices.
+    x : (D, N) array of points.
+
+    Returns
+    -------
+    (N, Q) array.
+    """
+    x = jnp.asarray(x)
+    mul_ind = jnp.asarray(mul_ind)
+    # (N, Q, D) -> product over D. Use integer exponents to keep 0**0 == 1.
+    return jnp.prod(x.T[:, None, :] ** mul_ind.T[None, :, :], axis=-1)
+
+
+def vandermonde_np(mul_ind: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """NumPy twin of :func:`vandermonde` for trace-time constant folding."""
+    return np.prod(x.T[:, None, :] ** mul_ind.T[None, :, :], axis=-1)

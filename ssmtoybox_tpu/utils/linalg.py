@@ -1,0 +1,167 @@
+"""Linear-algebra primitives shared by the whole framework.
+
+TPU-first re-design of the linalg helpers in the reference toolbox
+(``ssmtoybox/utils.py:385-456`` — ``maha``, ``mat_sqrt``, ``ellipse_points`` and
+``ssmtoybox/bq/bqkern.py:38-142`` — jittered PSD solves).  Everything here is a
+pure function of jax arrays: jit-able, vmap-able and differentiable, so filters
+can run thousands of small factorizations batched on one chip instead of one
+LAPACK call at a time.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+__all__ = [
+    "maha",
+    "mat_sqrt",
+    "safe_cholesky",
+    "pd_solve",
+    "pd_inv",
+    "pd_logdet",
+    "gen_solve",
+    "gen_inv",
+    "symmetrize",
+    "ellipse_points",
+]
+
+#: Default diagonal jitter used to stabilize Gram-matrix inversions
+#: (mirrors the reference kernel jitter, ``ssmtoybox/bq/bqkern.py:29-35``).
+DEFAULT_JITTER = 1e-8
+
+
+def maha(x: jax.Array, y: jax.Array, V: jax.Array | None = None) -> jax.Array:
+    """Pairwise squared Mahalanobis distance of rows of ``x`` and ``y``.
+
+    Parity with ``ssmtoybox/utils.py:385-409``: ``maha(x, y, V)[i, j] =
+    (x_i - y_j)^T V (x_i - y_j)`` computed via the expanded quadratic form so
+    the whole thing lowers to two matmuls (MXU-friendly) plus broadcasts.
+
+    Parameters
+    ----------
+    x : (N, D) array
+    y : (M, D) array
+    V : (D, D) array, optional — weight matrix, identity if omitted.
+    """
+    if V is None:
+        xV = x
+        yV = y
+    else:
+        xV = x @ V
+        yV = y @ V
+    x2 = jnp.sum(xV * x, axis=-1)
+    y2 = jnp.sum(yV * y, axis=-1)
+    return x2[..., :, None] + y2[..., None, :] - 2.0 * jnp.einsum("...nd,...md->...nm", xV, y)
+
+
+def symmetrize(a: jax.Array) -> jax.Array:
+    """Force symmetry: ``0.5 * (A + A^T)`` (cf. ``bqkern.py:63``, ``bqmod.py:520-522``)."""
+    return 0.5 * (a + jnp.swapaxes(a, -1, -2))
+
+
+def safe_cholesky(a: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Lower Cholesky factor with an eigh-based PSD fallback.
+
+    Replaces the try/except Cholesky→SVD fallback of the reference
+    (``ssmtoybox/utils.py:412-433``), which cannot be traced.  Instead we always
+    compute both factors and select with ``jnp.where``: when the Cholesky
+    succeeds (no NaNs) it is returned bit-for-bit; otherwise the symmetric
+    square root from a clipped eigendecomposition is used.  The ``where`` pair
+    keeps this compatible with jit/vmap without data-dependent control flow.
+    """
+    if jitter:
+        a = a + jitter * jnp.eye(a.shape[-1], dtype=a.dtype)
+    chol = jnp.linalg.cholesky(a)
+    ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1), keepdims=True)
+    # Eigendecomposition fallback: U * sqrt(clip(s)) (matches the SVD branch of
+    # the reference for symmetric inputs).
+    w, v = jnp.linalg.eigh(symmetrize(a))
+    fallback = v * jnp.sqrt(jnp.clip(w, 0.0))[..., None, :]
+    return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), fallback)
+
+
+def mat_sqrt(a: jax.Array) -> jax.Array:
+    """Matrix square root (Cholesky when PD, eigh fallback otherwise).
+
+    Functional equivalent of ``ssmtoybox/utils.py:412-433``.
+    """
+    return safe_cholesky(a)
+
+
+def pd_solve(A: jax.Array, b: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Solve ``A x = b`` for symmetric positive-definite ``A`` via Cholesky.
+
+    Equivalent of ``cho_solve(cho_factor(A), b)`` used throughout the reference
+    (``ssmtoybox/ssinf.py:321,342``, ``ssmtoybox/bq/bqkern.py:38-64``).
+    """
+    if jitter:
+        A = A + jitter * jnp.eye(A.shape[-1], dtype=A.dtype)
+    return cho_solve(cho_factor(A, lower=True), b)
+
+
+def pd_inv(A: jax.Array, jitter: float = 0.0, do_symmetrize: bool = True) -> jax.Array:
+    """Inverse of a symmetric PD matrix, symmetrized like the reference.
+
+    Mirrors ``Kernel._cho_inv`` (``ssmtoybox/bq/bqkern.py:38-64``): Cholesky
+    solve against the identity followed by forced symmetrization.
+    """
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    iA = pd_solve(A, eye, jitter=jitter)
+    return symmetrize(iA) if do_symmetrize else iA
+
+
+def pd_logdet(A: jax.Array) -> jax.Array:
+    """``log det(A)`` for symmetric PD ``A`` via Cholesky.
+
+    TPU note: ``jnp.linalg.slogdet``/``det`` lower to an LU decomposition,
+    which has no float64 TPU kernel; Cholesky does.  Every PD logdet in the
+    framework routes through here so the f64 parity path runs on-chip.
+    """
+    L = jnp.linalg.cholesky(A)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def gen_solve(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``A X = B`` for a general (non-symmetric) small matrix ``A``.
+
+    Gauss-Jordan elimination with partial pivoting, written as a
+    ``lax.fori_loop`` of static-shape row operations.  Exists because XLA's
+    ``LuDecomposition`` expansion has no float64 TPU kernel, so
+    ``jnp.linalg.solve``/``inv`` cannot run in the f64 parity configuration
+    on-chip.  Matrices here are tiny (sigma-point / polynomial-basis sized),
+    so O(n^3) elimination is cheap and fully fused by XLA.
+    """
+    n = A.shape[-1]
+    if B.ndim == 1:
+        return gen_solve(A, B[:, None])[:, 0]
+    M = jnp.concatenate([A, B], axis=-1)
+    rows = jnp.arange(n)
+
+    def body(i, M):
+        col = jnp.abs(M[:, i])
+        col = jnp.where(rows < i, -jnp.inf, col)
+        p = jnp.argmax(col)
+        row_i, row_p = M[i], M[p]
+        M = M.at[i].set(row_p).at[p].set(row_i)
+        pivot = M[i, i]
+        factor = M[:, i] / pivot
+        factor = factor.at[i].set(0.0)
+        M = M - factor[:, None] * M[i][None, :]
+        return M.at[i].set(M[i] / pivot)
+
+    M = jax.lax.fori_loop(0, n, body, M)
+    return M[:, n:]
+
+
+def gen_inv(A: jax.Array) -> jax.Array:
+    """Inverse of a general small matrix via :func:`gen_solve`."""
+    return gen_solve(A, jnp.eye(A.shape[-1], dtype=A.dtype))
+
+
+def ellipse_points(pos: jax.Array, mat: jax.Array, num: int = 50) -> jax.Array:
+    """Points on the 1-sigma ellipse of a 2D Gaussian (``utils.py:436-456``)."""
+    w, v = jnp.linalg.eigh(mat)
+    theta = jnp.linspace(0.0, 2.0 * jnp.pi, num)
+    t = jnp.stack((jnp.cos(theta), jnp.sin(theta)))
+    return pos[:, None] + v @ (jnp.sqrt(jnp.clip(w, 0.0))[:, None] * t)

@@ -1,0 +1,33 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+Tests run on an 8-device virtual CPU mesh (the SURVEY §4 strategy for faking
+multi-chip topologies without hardware) and in float64 because parity against
+the reference is specified at 1e-8.
+"""
+import os
+
+# must happen before jax is imported anywhere
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    """Load all golden npz files produced by tools/gen_goldens.py."""
+    out = {}
+    for fname in os.listdir(GOLDEN_DIR):
+        if fname.endswith(".npz"):
+            out[fname[:-4]] = dict(np.load(os.path.join(GOLDEN_DIR, fname), allow_pickle=False))
+    return out

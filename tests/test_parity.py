@@ -1,0 +1,316 @@
+"""Golden-parity tests against the reference SSMToybox.
+
+Each test replays measurement sequences recorded from the reference
+implementation (tools/gen_goldens.py) through the TPU-native framework and
+checks filtered/smoothed moments, BQ weights, kernel expectations, point sets
+and metrics to 1e-8 — the parity protocol from BASELINE.md.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu import points as pts
+from ssmtoybox_tpu.bq.kernels import RBFGauss
+from ssmtoybox_tpu.bq.models import (
+    BayesSardModel, GaussianProcessModel, StudentTProcessModel)
+from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+from ssmtoybox_tpu.mtran import UnscentedTransform
+from ssmtoybox_tpu.ssmod import (
+    UNGMTransition, UNGMNATransition, UNGMMeasurement, UNGMNAMeasurement,
+    Pendulum2DTransition, Pendulum2DMeasurement, ConstantVelocity,
+    Radar2DMeasurement, CoordinatedTurnTransition, BearingMeasurement,
+    ReentryVehicle2DTransition)
+from ssmtoybox_tpu.utils import GaussRV, StudentRV
+from ssmtoybox_tpu.utils import metrics as M
+
+ATOL = 1e-8
+RTOL = 1e-8
+
+
+def assert_close(ours, golden, label, atol=ATOL, rtol=RTOL):
+    np.testing.assert_allclose(np.asarray(ours), golden, atol=atol, rtol=rtol,
+                               err_msg=label)
+
+
+# ---------------------------------------------------------------------------
+# UNGM — all Gaussian filters
+# ---------------------------------------------------------------------------
+
+def _ungm_models():
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+    return dyn, obs
+
+
+UNGM_FILTERS = {
+    "ukf": lambda d, o: st.UnscentedKalman(d, o),
+    "ckf": lambda d, o: st.CubatureKalman(d, o),
+    "ghkf5": lambda d, o: st.GaussHermiteKalman(d, o, deg=5),
+    "ekf": lambda d, o: st.ExtendedKalman(d, o),
+    "gpqkf": lambda d, o: st.GaussianProcessKalman(
+        d, o, np.array([[1.0, 3.0]]), np.array([[1.0, 3.0]]), points="ut"),
+    "bsqkf": lambda d, o: st.BayesSardKalman(
+        d, o, np.array([[3.0, 0.3]]), np.array([[3.0, 0.3]]),
+        mulind_dyn=np.array([[0, 1, 2]]), mulind_obs=np.array([[0, 1, 2]]), points="ut"),
+    "tpqkf": lambda d, o: st.StudentProcessKalman(
+        d, o, np.array([[1.0, 3.0]]), np.array([[1.0, 3.0]]), points="ut", nu=3.0),
+    "ekf_gpqd": lambda d, o: st.ssinf.ExtendedKalmanGPQD(
+        d, o, np.array([[1.0, 3.0]]), np.array([[1.0, 3.0]])),
+}
+
+
+@pytest.mark.parametrize("name", sorted(UNGM_FILTERS))
+def test_ungm_filter_parity(goldens, name):
+    g = goldens["ungm"]
+    dyn, obs = _ungm_models()
+    alg = UNGM_FILTERS[name](dyn, obs)
+    fm, fP = alg.forward_pass(g["y"][..., 0])
+    assert_close(fm, g[f"{name}_fm"], f"{name} filtered mean")
+    assert_close(fP, g[f"{name}_fP"], f"{name} filtered cov")
+    if f"{name}_sm" in g:
+        sm, sP = alg.backward_pass()
+        assert_close(sm, g[f"{name}_sm"], f"{name} smoothed mean")
+        assert_close(sP, g[f"{name}_sP"], f"{name} smoothed cov")
+
+
+def test_ungm_batch_matches_single(goldens):
+    """vmapped batch filtering must equal per-trajectory filtering exactly."""
+    g = goldens["ungm"]
+    dyn, obs = _ungm_models()
+    alg = st.UnscentedKalman(dyn, obs)
+    y = g["y"]  # (1, N, 3)
+    batch = np.moveaxis(y, -1, 0)  # (3, 1, N)
+    res = alg.forward_pass_batch(batch)
+    for s in range(y.shape[-1]):
+        fm, _ = alg.forward_pass(y[..., s])
+        np.testing.assert_allclose(res.fi_mean[s], fm, rtol=1e-12, atol=1e-12)
+
+
+def test_ungm_nonadditive_parity(goldens):
+    g = goldens["ungm_na"]
+    dyn = UNGMNATransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
+    alg = st.UnscentedKalman(dyn, obs)
+    fm, fP = alg.forward_pass(g["y"][..., 0])
+    assert_close(fm, g["ukf_fm"], "UNGM-NA UKF mean")
+    assert_close(fP, g["ukf_fP"], "UNGM-NA UKF cov")
+
+
+# ---------------------------------------------------------------------------
+# Pendulum, CV radar, coordinated turn, reentry
+# ---------------------------------------------------------------------------
+
+def test_pendulum_parity(goldens):
+    g = goldens["pendulum"]
+    dt = 0.01
+    qc = 0.10
+    Q = qc * np.array([[dt ** 3 / 3, dt ** 2 / 2], [dt ** 2 / 2, dt]])
+    dyn = Pendulum2DTransition.create(
+        GaussRV.create(2, mean=np.array([1.5, 0.0]), cov=0.01 * np.eye(2)),
+        GaussRV.create(2, cov=Q), dt=dt)
+    obs = Pendulum2DMeasurement.create(GaussRV.create(1, cov=0.1), dim_state=2)
+    for name, alg in {
+        "ukf": st.UnscentedKalman(dyn, obs),
+        "gpqkf": st.GaussianProcessKalman(dyn, obs, np.array([[1.0, 2.0, 2.0]]),
+                                          np.array([[1.0, 2.0, 2.0]]), points="sr"),
+    }.items():
+        fm, fP = alg.forward_pass(g["y"][..., 0])
+        assert_close(fm, g[f"{name}_fm"], f"pendulum {name} mean")
+        assert_close(fP, g[f"{name}_fP"], f"pendulum {name} cov")
+        sm, sP = alg.backward_pass()
+        assert_close(sm, g[f"{name}_sm"], f"pendulum {name} smoothed mean")
+        assert_close(sP, g[f"{name}_sP"], f"pendulum {name} smoothed cov")
+
+
+def test_cv_radar_parity(goldens):
+    g = goldens["cv_radar"]
+    dyn = ConstantVelocity.create(
+        GaussRV.create(4, mean=np.array([10000., 300., 1000., -40.]),
+                       cov=np.diag([100.0, 25.0, 100.0, 25.0])),
+        GaussRV.create(2, cov=np.diag([50.0, 5.0])), dt=0.5)
+    obs = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([50.0, 0.4e-6])),
+                                    dim_state=4, state_index=[0, 2])
+    alg = st.UnscentedKalman(dyn, obs)
+    fm, fP = alg.forward_pass(g["y"][..., 0])
+    assert_close(fm, g["ukf_fm"], "CV radar UKF mean")
+    assert_close(fP, g["ukf_fP"], "CV radar UKF cov")
+    sm, sP = alg.backward_pass()
+    assert_close(sm, g["ukf_sm"], "CV radar UKF smoothed mean")
+    assert_close(sP, g["ukf_sP"], "CV radar UKF smoothed cov")
+
+
+def test_coordinated_turn_parity(goldens):
+    g = goldens["ct_bearing"]
+    dt = 0.1
+    import scipy.linalg as sla
+    rho_1, rho_2 = 0.1, 1.75e-4
+    A = np.array([[dt ** 3 / 3, dt ** 2 / 2], [dt ** 2 / 2, dt]])
+    Q = sla.block_diag(rho_1 * A, rho_1 * A, rho_2 * dt)
+    dyn = CoordinatedTurnTransition.create(
+        GaussRV.create(5, mean=np.array([1000., 300., 1000., 0., -3.0 * np.pi / 180]),
+                       cov=np.diag([100., 10., 100., 10., 0.1])),
+        GaussRV.create(5, cov=Q), dt=dt)
+    sensors = 100.0 * np.vstack((np.eye(2), -np.eye(2)))
+    obs = BearingMeasurement.create(GaussRV.create(4, cov=1e-3 * np.eye(4)),
+                                    dim_state=5, state_index=[0, 2], sensor_pos=sensors)
+    alg = st.CubatureKalman(dyn, obs)
+    fm, fP = alg.forward_pass(g["y"][..., 0])
+    assert_close(fm, g["ckf_fm"], "CT bearing CKF mean", atol=1e-7, rtol=1e-7)
+    assert_close(fP, g["ckf_fP"], "CT bearing CKF cov", atol=1e-7, rtol=1e-7)
+
+
+def test_reentry_parity(goldens):
+    g = goldens["reentry"]
+    dt = 0.05
+    dyn = ReentryVehicle2DTransition.create(
+        GaussRV.create(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                       cov=np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0])),
+        GaussRV.create(3, cov=np.diag([2.4064e-5, 2.4064e-5, 1e-6])), dt=dt)
+    obs = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([1e-3, 1e-5])),
+                                    dim_state=5, state_index=[0, 1],
+                                    radar_loc=np.array([6374.0, 0.0]))
+    mulind5 = np.hstack([np.zeros((5, 1), dtype=int), np.eye(5, dtype=int),
+                         2 * np.eye(5, dtype=int)])
+    for name, alg in {
+        "ukf": st.UnscentedKalman(dyn, obs),
+        "bsqkf": st.BayesSardKalman(dyn, obs, np.array([[1.0, 1, 1, 1, 1, 1]]),
+                                    np.array([[1.0, 0.9, 0.9, 1e4, 1e4, 1e4]]),
+                                    mulind_dyn=mulind5, mulind_obs=mulind5, points="ut"),
+    }.items():
+        fm, fP = alg.forward_pass(g["y"][..., 0])
+        assert_close(fm, g[f"{name}_fm"], f"reentry {name} mean", atol=1e-7, rtol=1e-6)
+        assert_close(fP, g[f"{name}_fP"], f"reentry {name} cov", atol=1e-7, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Studentian filters
+# ---------------------------------------------------------------------------
+
+def test_student_filter_parity(goldens):
+    g = goldens["ungm_student"]
+    dyn = UNGMTransition.create(StudentRV.create(1, scale=1.0, dof=4.0),
+                                StudentRV.create(1, scale=10.0, dof=4.0))
+    obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
+    for name, fixed in [("fsq3", True), ("fsq3_inc", False)]:
+        alg = st.FullySymmetricStudent(dyn, obs, degree=3, dof=4.0, fixed_dof=fixed)
+        fm, fP = alg.forward_pass(g["y"][..., 0])
+        assert_close(fm, g[f"{name}_fm"], f"{name} mean")
+        assert_close(fP, g[f"{name}_fP"], f"{name} cov")
+
+
+# ---------------------------------------------------------------------------
+# Kernel expectations, BQ weights, point sets, transform-level parity
+# ---------------------------------------------------------------------------
+
+def test_kernel_expectation_parity(goldens):
+    g = goldens["transforms"]
+    x, par = g["kern_x"], g["kern_par"]
+    kern = RBFGauss.create(2, par)
+    assert_close(kern.eval(par, x), g["kern_K"], "K")
+    assert_close(kern.exp_x_kx(par, x), g["kern_q"], "q")
+    assert_close(kern.exp_x_kxkx(par, par, x), g["kern_Q"], "Q")
+    assert_close(kern.exp_x_xkx(par, x), g["kern_R"], "R")
+    assert_close(jnp.atleast_1d(kern.exp_xy_kxy(par)), g["kern_kxy"], "kxy")
+
+
+@pytest.mark.parametrize("point_str", ["ut", "sr", "gh"])
+def test_gp_weights_parity(goldens, point_str):
+    g = goldens["transforms"]
+    par = g["kern_par"]
+    gp = GaussianProcessModel.create(2, par, "rbf", point_str)
+    w = gp.bq_weights(par)
+    assert_close(w.wm, g[f"gp_{point_str}_wm"], "wm")
+    assert_close(w.Wc, g[f"gp_{point_str}_wc"], "Wc")
+    assert_close(w.Wcc, g[f"gp_{point_str}_wcc"], "Wcc")
+    assert_close(jnp.atleast_1d(w.model_var), g[f"gp_{point_str}_emv"], "emv")
+    assert_close(jnp.atleast_1d(w.integral_var), g[f"gp_{point_str}_ivar"], "ivar")
+
+
+def test_tp_weights_parity(goldens):
+    g = goldens["transforms"]
+    par = g["kern_par"]
+    tp = StudentTProcessModel.create(2, par, "rbf", "ut", nu=4.0)
+    w = tp.bq_weights(par)
+    assert_close(w.wm, g["tp_ut_wm"], "tp wm")
+    assert_close(w.Wc, g["tp_ut_wc"], "tp Wc")
+    assert_close(w.Wcc, g["tp_ut_wcc"], "tp Wcc")
+
+
+def test_bsq_weights_parity(goldens):
+    g = goldens["transforms"]
+    par = g["kern_par"]
+    bs = BayesSardModel.create(2, par, multi_ind=2, point_str="gh",
+                               point_par={"degree": 3})
+    np.testing.assert_array_equal(bs.mulind_np, g["bs_gh_mulind"])
+    w = bs.bq_weights(par)
+    assert_close(w.wm, g["bs_gh_wm"], "bs wm")
+    assert_close(w.Wc, g["bs_gh_wc"], "bs Wc")
+    assert_close(w.Wcc, g["bs_gh_wcc"], "bs Wcc")
+    assert_close(jnp.atleast_1d(w.model_var), g["bs_gh_emv"], "bs emv")
+    assert_close(jnp.atleast_1d(w.integral_var), g["bs_gh_ivar"], "bs ivar")
+
+
+def test_bsq_unisolvent_weights_parity(goldens):
+    g = goldens["transforms"]
+    par = g["kern_par"]
+    mulind = g["bs_uni_mulind"]
+    bs = BayesSardModel.create(2, par, multi_ind=mulind, point_str="ut")
+    w = bs.bq_weights(par)
+    assert_close(w.wm, g["bs_uni_wm"], "bs uni wm")
+    assert_close(w.Wc, g["bs_uni_wc"], "bs uni Wc")
+    assert_close(w.Wcc, g["bs_uni_wcc"], "bs uni Wcc")
+    assert_close(jnp.atleast_1d(w.model_var), g["bs_uni_emv"], "bs uni emv")
+    # unisolvent BSQ on UT points reproduces classical UT mean weights
+    assert_close(w.wm, pts.ut_weights(2)[0], "bs uni == UT wm")
+
+
+def test_point_set_parity(goldens):
+    g = goldens["transforms"]
+    assert_close(pts.ut_points(3), g["ut3_pts"], "ut3 pts")
+    wm, wc = pts.ut_weights(3)
+    assert_close(wm, g["ut3_wm"], "ut3 wm")
+    assert_close(wc, g["ut3_wc"], "ut3 wc")
+    assert_close(pts.sr_points(4), g["sr4_pts"], "sr4 pts")
+    assert_close(pts.sr_weights(4), g["sr4_w"], "sr4 w")
+    assert_close(pts.gh_points(2, 4), g["gh2_pts"], "gh2 pts")
+    assert_close(pts.gh_weights(2, 4), g["gh2_w"], "gh2 w")
+    assert_close(pts.fs_points(3, 5, dof=6.0), g["fs3_pts_d5"], "fs3 pts d5")
+    assert_close(pts.fs_weights(3, 5, dof=6.0), g["fs3_w_d5"], "fs3 w d5")
+    assert_close(pts.fs_points(2, 3, dof=4.0), g["fs2_pts_d3"], "fs2 pts d3")
+    assert_close(pts.fs_weights(2, 3, dof=4.0), g["fs2_w_d3"], "fs2 w d3")
+
+
+def test_transform_apply_parity(goldens):
+    g = goldens["transforms"]
+
+    def polar2cartesian(x, pars):
+        return x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
+
+    mean_in, cov_in = g["p2c_mean_in"], g["p2c_cov_in"]
+    ut = UnscentedTransform(2)
+    mf, cf, ccf = ut.apply(polar2cartesian, jnp.asarray(mean_in), jnp.asarray(cov_in), None)
+    assert_close(mf, g["p2c_ut_mf"], "p2c ut mean")
+    assert_close(cf, g["p2c_ut_cf"], "p2c ut cov")
+    assert_close(ccf, g["p2c_ut_ccf"], "p2c ut ccov")
+
+    gpt = GaussianProcessTransform.create(2, 2, g["kern_par"], point_str="ut")
+    mf, cf, ccf = gpt.apply(polar2cartesian, jnp.asarray(mean_in), jnp.asarray(cov_in), None)
+    assert_close(mf, g["p2c_gpq_mf"], "p2c gpq mean")
+    assert_close(cf, g["p2c_gpq_cf"], "p2c gpq cov")
+    assert_close(ccf, g["p2c_gpq_ccf"], "p2c gpq ccov")
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def test_metrics_parity(goldens):
+    g = goldens["metrics"]
+    x, m, P, MSE, est = g["x"], g["m"], g["P"], g["MSE"], g["est"]
+    assert_close(M.squared_error(jnp.asarray(x), jnp.asarray(m)), g["se"], "se")
+    assert_close(M.mse_matrix(jnp.asarray(x), jnp.asarray(est)), g["msem"], "mse matrix")
+    assert_close(jnp.atleast_1d(M.log_cred_ratio(x, m, P, MSE)), g["lcr"], "lcr")
+    assert_close(jnp.atleast_1d(M.neg_log_likelihood(x, m, P)), g["nll"], "nll")
+    assert_close(jnp.atleast_1d(M.kl_divergence(x, P, m, MSE)), g["kl"], "kl")
+    assert_close(jnp.atleast_1d(M.symmetrized_kl_divergence(x, P, m, MSE)), g["skl"], "skl")

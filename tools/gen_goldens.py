@@ -1,0 +1,351 @@
+"""Generate golden parity data from the reference SSMToybox.
+
+Runs the reference implementation (mounted read-only at /root/reference) on
+fixed-seed scenarios and dumps inputs + outputs to ``tests/goldens/*.npz``.
+The test suite then replays the SAME measurement sequences through the
+TPU-native framework and asserts 1e-8 agreement on filtered/smoothed moments,
+BQ weights and kernel expectations (the parity protocol of BASELINE.md).
+
+The reference requires numba (not installed here); its single @nb.jit function
+is pure Python-compatible, so we stub the decorator.
+"""
+import os
+import sys
+import types
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+# --- numba stub (reference only uses @nb.jit(nopython=True)) ---------------
+numba_stub = types.ModuleType("numba")
+numba_stub.jit = lambda *a, **k: (lambda f: f)
+sys.modules.setdefault("numba", numba_stub)
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np  # noqa: E402
+import scipy as sp  # noqa: E402
+
+# --- compat shims for the reference's NumPy<1.20 / SciPy<1.x idioms --------
+if not hasattr(np, "int"):
+    np.int = int  # noqa: NPY001
+if not hasattr(np, "float"):
+    np.float = float
+if not hasattr(np, "bool"):
+    np.bool = bool
+if not hasattr(np, "asscalar"):
+    np.asscalar = lambda a: np.asarray(a).item()
+if not hasattr(sp, "log10"):
+    sp.log10 = np.log10
+if not hasattr(np.linalg, "linalg"):  # np.linalg.linalg.LinAlgError in utils.py:429
+    np.linalg.linalg = np.linalg
+
+# SciPy >= 1.11 changed factorial2(n<0) to return 0; the reference's BSQ
+# polynomial expectations rely on the historical convention (-1)!! = 1
+# (Gaussian moment E[x^0] = (0-1)!!).  Restore the published behaviour so the
+# goldens reflect the reference as it was developed.
+import scipy.special as _sps  # noqa: E402
+
+_orig_factorial2 = _sps.factorial2
+
+
+def _factorial2_compat(n, exact=False):
+    if np.ndim(n) == 0 and int(n) <= 0:
+        return 1 if exact else 1.0
+    return _orig_factorial2(n, exact=exact)
+
+
+_sps.factorial2 = _factorial2_compat
+
+from ssmtoybox.ssmod import (  # noqa: E402
+    UNGMTransition, UNGMNATransition, UNGMMeasurement, UNGMNAMeasurement,
+    Pendulum2DTransition, Pendulum2DMeasurement,
+    ConstantVelocity, Radar2DMeasurement,
+    CoordinatedTurnTransition, BearingMeasurement,
+    ReentryVehicle2DTransition, ConstantTurnRateSpeed,
+)
+from ssmtoybox.ssinf import (  # noqa: E402
+    UnscentedKalman, CubatureKalman, GaussHermiteKalman, ExtendedKalman,
+    GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
+    FullySymmetricStudent, ExtendedKalmanGPQD,
+)
+from ssmtoybox.utils import GaussRV, StudentRV  # noqa: E402
+from ssmtoybox.mtran import (  # noqa: E402
+    UnscentedTransform, SphericalRadialTransform, GaussHermiteTransform,
+    FullySymmetricStudentTransform,
+)
+from ssmtoybox.bq.bqkern import RBFGauss  # noqa: E402
+from ssmtoybox.bq.bqmod import GaussianProcessModel, BayesSardModel, StudentTProcessModel  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+os.makedirs(OUT, exist_ok=True)
+
+
+def run_filter(alg, y):
+    fm, fP = alg.forward_pass(y)
+    return np.asarray(fm), np.asarray(fP)
+
+
+def main():
+    # =====================================================================
+    # Scenario A: UNGM additive, all Gaussian filters + smoothers
+    # =====================================================================
+    np.random.seed(42)
+    x0 = GaussRV(1, cov=np.atleast_2d(1.0))
+    q = GaussRV(1, cov=np.atleast_2d(10.0))
+    r = GaussRV(1, cov=np.atleast_2d(1.0))
+    dyn = UNGMTransition(x0, q)
+    obs = UNGMMeasurement(r, dyn.dim_state)
+    x = dyn.simulate_discrete(100, mc_sims=3)
+    y = obs.simulate_measurements(x)
+    data = {"x": x, "y": y}
+
+    kpar = np.array([[1.0, 3.0]])
+    # NOTE: the reference's BayesSardKalman crashes when multi_ind is an int
+    # (BayesSardTransform.weights passes the raw constructor arg to
+    # bq_weights, bqmtran.py:338,359 + bqmod.py:926); research scripts pass
+    # explicit multi-index matrices, so the goldens do too.
+    mulind1 = np.array([[0, 1, 2]])
+    filters = {
+        "ukf": UnscentedKalman(dyn, obs),
+        "ckf": CubatureKalman(dyn, obs),
+        "ghkf5": GaussHermiteKalman(dyn, obs, deg=5),
+        "ekf": ExtendedKalman(dyn, obs),
+        "gpqkf": GaussianProcessKalman(dyn, obs, kpar, kpar, points="ut"),
+        "bsqkf": BayesSardKalman(dyn, obs, np.array([[3.0, 0.3]]), np.array([[3.0, 0.3]]),
+                                 mulind_dyn=mulind1, mulind_obs=mulind1, points="ut"),
+        "tpqkf": StudentProcessKalman(dyn, obs, kpar, kpar, points="ut", nu=3.0),
+        "ekf_gpqd": ExtendedKalmanGPQD(dyn, obs, kpar, kpar),
+    }
+    for name, alg in filters.items():
+        fm, fP = run_filter(alg, y[..., 0])
+        data[f"{name}_fm"], data[f"{name}_fP"] = fm, fP
+        if name in ("ukf", "gpqkf", "bsqkf"):
+            sm, sP = alg.backward_pass()
+            data[f"{name}_sm"], data[f"{name}_sP"] = np.asarray(sm), np.asarray(sP)
+        alg.reset()
+    np.savez(os.path.join(OUT, "ungm.npz"), **data)
+    print("ungm.npz:", sorted(data))
+
+    # =====================================================================
+    # Scenario B: UNGM non-additive noise
+    # =====================================================================
+    np.random.seed(7)
+    dyn_na = UNGMNATransition(GaussRV(1, cov=np.atleast_2d(1.0)), GaussRV(1, cov=np.atleast_2d(10.0)))
+    obs_na = UNGMNAMeasurement(GaussRV(1, cov=np.atleast_2d(0.01)), dyn_na.dim_state)
+    x = dyn_na.simulate_discrete(60, mc_sims=1)
+    y = obs_na.simulate_measurements(x)
+    ukf = UnscentedKalman(dyn_na, obs_na)
+    fm, fP = run_filter(ukf, y[..., 0])
+    np.savez(os.path.join(OUT, "ungm_na.npz"), x=x, y=y, ukf_fm=fm, ukf_fP=fP)
+    print("ungm_na.npz done")
+
+    # =====================================================================
+    # Scenario C: Pendulum
+    # =====================================================================
+    np.random.seed(3)
+    dt = 0.01
+    x0 = GaussRV(2, mean=np.array([1.5, 0.0]), cov=0.01 * np.eye(2))
+    qc = 0.10
+    Q = qc * np.array([[dt ** 3 / 3, dt ** 2 / 2], [dt ** 2 / 2, dt]])
+    dyn_p = Pendulum2DTransition(x0, GaussRV(2, cov=Q), dt=dt)
+    obs_p = Pendulum2DMeasurement(GaussRV(1, cov=np.atleast_2d(0.1)), dyn_p.dim_state)
+    x = dyn_p.simulate_discrete(80, mc_sims=1)
+    y = obs_p.simulate_measurements(x)
+    kpar2 = np.array([[1.0, 2.0, 2.0]])
+    algs = {
+        "ukf": UnscentedKalman(dyn_p, obs_p),
+        "gpqkf": GaussianProcessKalman(dyn_p, obs_p, kpar2, np.array([[1.0, 2.0, 2.0]]), points="sr"),
+    }
+    data = {"x": x, "y": y}
+    for name, alg in algs.items():
+        fm, fP = run_filter(alg, y[..., 0])
+        data[f"{name}_fm"], data[f"{name}_fP"] = fm, fP
+        sm, sP = alg.backward_pass()
+        data[f"{name}_sm"], data[f"{name}_sP"] = np.asarray(sm), np.asarray(sP)
+    np.savez(os.path.join(OUT, "pendulum.npz"), **data)
+    print("pendulum.npz done")
+
+    # =====================================================================
+    # Scenario D: constant-velocity + 2D radar (state_index selection)
+    # =====================================================================
+    np.random.seed(11)
+    x0 = GaussRV(4, mean=np.array([10000., 300., 1000., -40.]),
+                 cov=np.diag([100.0, 25.0, 100.0, 25.0]))
+    q = GaussRV(2, cov=np.diag([50.0, 5.0]))
+    r = GaussRV(2, cov=np.diag([50.0, 0.4e-6]))
+    dyn_cv = ConstantVelocity(x0, q, dt=0.5)
+    obs_cv = Radar2DMeasurement(r, dyn_cv.dim_state, state_index=[0, 2])
+    x = dyn_cv.simulate_discrete(60, mc_sims=1)
+    y = obs_cv.simulate_measurements(x)
+    ukf = UnscentedKalman(dyn_cv, obs_cv)
+    fm, fP = run_filter(ukf, y[..., 0])
+    sm, sP = ukf.backward_pass()
+    np.savez(os.path.join(OUT, "cv_radar.npz"), x=x, y=y, ukf_fm=fm, ukf_fP=fP,
+             ukf_sm=np.asarray(sm), ukf_sP=np.asarray(sP))
+    print("cv_radar.npz done")
+
+    # =====================================================================
+    # Scenario E: coordinated turn + bearing sensors
+    # =====================================================================
+    np.random.seed(13)
+    dt = 0.1
+    x0 = GaussRV(5, mean=np.array([1000., 300., 1000., 0., -3.0 * np.pi / 180]),
+                 cov=np.diag([100., 10., 100., 10., 0.1]))
+    rho_1, rho_2 = 0.1, 1.75e-4
+    A = np.array([[dt ** 3 / 3, dt ** 2 / 2], [dt ** 2 / 2, dt]])
+    import scipy.linalg as sla
+    Q = sla.block_diag(rho_1 * A, rho_1 * A, rho_2 * dt)
+    q = GaussRV(5, cov=Q)
+    r = GaussRV(4, cov=1e-3 * np.eye(4))
+    dyn_ct = CoordinatedTurnTransition(x0, q, dt=dt)
+    sensors = 100.0 * np.vstack((np.eye(2), -np.eye(2)))
+    obs_ct = BearingMeasurement(r, 5, state_index=[0, 2], sensor_pos=sensors)
+    x = dyn_ct.simulate_discrete(60, mc_sims=1)
+    y = obs_ct.simulate_measurements(x)
+    ckf = CubatureKalman(dyn_ct, obs_ct)
+    fm, fP = run_filter(ckf, y[..., 0])
+    np.savez(os.path.join(OUT, "ct_bearing.npz"), x=x, y=y, ckf_fm=fm, ckf_fP=fP)
+    print("ct_bearing.npz done")
+
+    # =====================================================================
+    # Scenario F: reentry vehicle 2D + radar
+    # =====================================================================
+    np.random.seed(17)
+    dt = 0.05
+    x0 = GaussRV(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                 cov=np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0]))
+    Q = np.diag([2.4064e-5, 2.4064e-5, 1e-6])
+    q = GaussRV(3, cov=Q)
+    r = GaussRV(2, cov=np.diag([1e-3, 1e-5]))
+    dyn_re = ReentryVehicle2DTransition(x0, q, dt=dt)
+    obs_re = Radar2DMeasurement(r, 5, state_index=[0, 1], radar_loc=np.array([6374.0, 0.0]))
+    x = dyn_re.simulate_discrete(40, mc_sims=1)
+    y = obs_re.simulate_measurements(x)
+    data = {"x": x, "y": y}
+    mulind5 = np.hstack([np.zeros((5, 1), dtype=int), np.eye(5, dtype=int),
+                         2 * np.eye(5, dtype=int)])
+    for name, alg in {
+        "ukf": UnscentedKalman(dyn_re, obs_re),
+        "bsqkf": BayesSardKalman(dyn_re, obs_re, np.array([[1.0, 1, 1, 1, 1, 1]]),
+                                  np.array([[1.0, 0.9, 0.9, 1e4, 1e4, 1e4]]),
+                                  mulind_dyn=mulind5, mulind_obs=mulind5, points="ut"),
+    }.items():
+        fm, fP = run_filter(alg, y[..., 0])
+        data[f"{name}_fm"], data[f"{name}_fP"] = fm, fP
+    np.savez(os.path.join(OUT, "reentry.npz"), **data)
+    print("reentry.npz done")
+
+    # =====================================================================
+    # Scenario G: Student filter (FSQ) on UNGM with Student noises
+    # =====================================================================
+    np.random.seed(19)
+    x0 = StudentRV(1, scale=np.atleast_2d(1.0), dof=4.0)
+    q = StudentRV(1, scale=np.atleast_2d(10.0), dof=4.0)
+    r = StudentRV(1, scale=np.atleast_2d(0.01), dof=4.0)
+    dyn_s = UNGMTransition(x0, q)
+    obs_s = UNGMMeasurement(r, dyn_s.dim_state)
+    x = dyn_s.simulate_discrete(60, mc_sims=1)
+    y = obs_s.simulate_measurements(x)
+    data = {"x": x, "y": y}
+    for name, alg in {
+        "fsq3": FullySymmetricStudent(dyn_s, obs_s, degree=3, dof=4.0, fixed_dof=True),
+        "fsq3_inc": FullySymmetricStudent(dyn_s, obs_s, degree=3, dof=4.0, fixed_dof=False),
+    }.items():
+        fm, fP = run_filter(alg, y[..., 0])
+        data[f"{name}_fm"], data[f"{name}_fP"] = fm, fP
+    np.savez(os.path.join(OUT, "ungm_student.npz"), **data)
+    print("ungm_student.npz done")
+
+    # =====================================================================
+    # Scenario H: transform/weight/kernel-expectation level goldens
+    # =====================================================================
+    rng = np.random.RandomState(23)
+    data = {}
+    # RBF kernel expectations at random points, dim 2
+    x2 = rng.randn(2, 7)
+    par2 = np.array([[1.5, 0.7, 1.3]])
+    kern = RBFGauss(2, par2)
+    data["kern_x"] = x2
+    data["kern_par"] = par2
+    data["kern_K"] = kern.eval(par2, x2)
+    data["kern_q"] = kern.exp_x_kx(par2, x2)
+    data["kern_Q"] = kern.exp_x_kxkx(par2, par2, x2)
+    data["kern_R"] = kern.exp_x_xkx(par2, x2)
+    data["kern_kxy"] = np.atleast_1d(kern.exp_xy_kxy(par2))
+    # GP/TP/BSQ weights for several point sets, dim 2
+    for pts in ["ut", "sr", "gh"]:
+        gp = GaussianProcessModel(2, par2, "rbf", pts, None, False)
+        wm, wc, wcc, emv, ivar = gp.bq_weights(par2)
+        data[f"gp_{pts}_wm"], data[f"gp_{pts}_wc"], data[f"gp_{pts}_wcc"] = wm, wc, wcc
+        data[f"gp_{pts}_emv"], data[f"gp_{pts}_ivar"] = np.atleast_1d(emv), np.atleast_1d(ivar)
+    tp = StudentTProcessModel(2, par2, "rbf", "ut", None, False, nu=4.0)
+    wm, wc, wcc, emv, ivar = tp.bq_weights(par2)
+    data["tp_ut_wm"], data["tp_ut_wc"], data["tp_ut_wcc"] = wm, wc, wcc
+    bs = BayesSardModel(2, par2, multi_ind=2, point_str="gh",
+                        point_par={"degree": 3}, estimate_par=False)
+    wm, wc, wcc, emv, ivar = bs.bq_weights(par2)
+    data["bs_gh_wm"], data["bs_gh_wc"], data["bs_gh_wcc"] = wm, wc, wcc
+    data["bs_gh_emv"], data["bs_gh_ivar"] = np.atleast_1d(emv), np.atleast_1d(ivar)
+    data["bs_gh_mulind"] = bs.mulind
+    # unisolvent BSQ on UT points reproduces UT weights
+    mulind_uni = np.hstack([np.zeros((2, 1), dtype=int), np.eye(2, dtype=int),
+                            2 * np.eye(2, dtype=int)])
+    bs_uni = BayesSardModel(2, par2, multi_ind=mulind_uni, point_str="ut")
+    wm, wc, wcc, emv, ivar = bs_uni.bq_weights(par2, mulind_uni)
+    data["bs_uni_wm"], data["bs_uni_wc"], data["bs_uni_wcc"] = wm, wc, wcc
+    data["bs_uni_emv"] = np.atleast_1d(emv)
+    data["bs_uni_mulind"] = mulind_uni
+    # classical point sets / weights
+    data["ut3_pts"] = UnscentedTransform.unit_sigma_points(3)
+    data["ut3_wm"], data["ut3_wc"] = UnscentedTransform.weights(3)
+    data["sr4_pts"] = SphericalRadialTransform.unit_sigma_points(4)
+    data["sr4_w"] = SphericalRadialTransform.weights(4)
+    data["gh2_pts"] = GaussHermiteTransform.unit_sigma_points(2, 4)
+    data["gh2_w"] = GaussHermiteTransform.weights(2, 4)
+    data["fs3_pts_d5"] = FullySymmetricStudentTransform.unit_sigma_points(3, degree=5, dof=6.0)
+    data["fs3_w_d5"] = FullySymmetricStudentTransform.weights(3, degree=5, dof=6.0)
+    data["fs2_pts_d3"] = FullySymmetricStudentTransform.unit_sigma_points(2, degree=3, dof=4.0)
+    data["fs2_w_d3"] = FullySymmetricStudentTransform.weights(2, degree=3, dof=4.0)
+    # transform-level apply on a fixed nonlinearity: polar2cartesian
+    def polar2cartesian(x, pars):
+        return x[0] * np.array([np.cos(x[1]), np.sin(x[1])])
+    mean_in = np.array([1.0, np.pi / 6])
+    cov_in = np.diag([0.05 ** 2, (np.pi / 10) ** 2])
+    ut = UnscentedTransform(2)
+    mf, cf, ccf = ut.apply(polar2cartesian, mean_in, cov_in, None)
+    data["p2c_mean_in"], data["p2c_cov_in"] = mean_in, cov_in
+    data["p2c_ut_mf"], data["p2c_ut_cf"], data["p2c_ut_ccf"] = mf, cf, ccf
+    from ssmtoybox.bq.bqmtran import GaussianProcessTransform as RefGPT
+    gpt = RefGPT(2, 2, par2, point_str="ut")
+    mf, cf, ccf = gpt.apply(polar2cartesian, mean_in, cov_in, None)
+    data["p2c_gpq_mf"], data["p2c_gpq_cf"], data["p2c_gpq_ccf"] = mf, cf, ccf
+    np.savez(os.path.join(OUT, "transforms.npz"), **data)
+    print("transforms.npz done")
+
+    # =====================================================================
+    # Scenario I: metrics on fixed arrays
+    # =====================================================================
+    from ssmtoybox.utils import (squared_error, mse_matrix, log_cred_ratio,
+                                 neg_log_likelihood, kl_divergence,
+                                 symmetrized_kl_divergence)
+    rng = np.random.RandomState(29)
+    xm = rng.randn(3)
+    mm = rng.randn(3)
+    A = rng.randn(3, 3); P = A @ A.T + 3 * np.eye(3)
+    B = rng.randn(3, 3); MSE = B @ B.T + 3 * np.eye(3)
+    est = rng.randn(3, 50)
+    data = {
+        "x": xm, "m": mm, "P": P, "MSE": MSE, "est": est,
+        "se": squared_error(xm, mm),
+        "msem": mse_matrix(xm[:, None], est),
+        "lcr": np.atleast_1d(log_cred_ratio(xm, mm, P, MSE)),
+        "nll": np.atleast_1d(neg_log_likelihood(xm, mm, P)),
+        "kl": np.atleast_1d(kl_divergence(xm, P, mm, MSE)),
+        "skl": np.atleast_1d(symmetrized_kl_divergence(xm, P, mm, MSE)),
+    }
+    np.savez(os.path.join(OUT, "metrics.npz"), **data)
+    print("metrics.npz done")
+
+
+if __name__ == "__main__":
+    main()
