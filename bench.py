@@ -1,0 +1,245 @@
+"""Headline benchmark: 10k-trajectory UNGM + reentry Monte-Carlo filtering.
+
+North star (BASELINE.json): run the 10k-MC UNGM and reentry-tracking studies
+in float64 on one TPU chip at >= 100x the single-core NumPy reference.
+
+Baseline: the reference implementation itself (mounted at /root/reference)
+run single-core on a small trajectory subset and extrapolated linearly (its
+cost is exactly linear in the number of trajectories — a sequential Python
+loop, ``research/bsq/bsq_ungm.py:133-138``).  If the reference is not
+available, an equivalent single-core NumPy UKF implemented here is used.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <tpu wall-clock s>, "unit": "s", "vs_baseline": <speedup>}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Scenario definitions (shared by TPU run and baseline)
+# ---------------------------------------------------------------------------
+UNGM_STEPS = 500
+REENTRY_STEPS = 100
+MC_RUNS = 10_000
+BASE_MC_UNGM = 20       # trajectories timed for the NumPy baseline
+BASE_MC_REENTRY = 5
+
+
+def tpu_run():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import ssmtoybox_tpu as st
+    from ssmtoybox_tpu.ssmod import (UNGMTransition, UNGMMeasurement,
+                                     ReentryVehicle2DTransition, Radar2DMeasurement)
+    from ssmtoybox_tpu.utils import GaussRV
+
+    log("devices:", jax.devices())
+
+    # ---------------- UNGM ----------------
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+    key = jax.random.PRNGKey(0)
+    x = dyn.simulate_discrete(key, steps=UNGM_STEPS, mc_sims=MC_RUNS)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+    ys = jnp.moveaxis(y, -1, 0)                      # (M, 1, N)
+    ukf = st.UnscentedKalman(dyn, obs)
+
+    run_ungm = jax.jit(lambda md, mo, td, to, b: jax.vmap(
+        lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
+    # compile + warmup
+    out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
+    out.block_until_ready()
+    t_ungm = time.perf_counter() - t0
+    rmse_ungm = float(jnp.sqrt(jnp.mean((jnp.moveaxis(x, -1, 0) - out) ** 2)))
+    log(f"UNGM UKF {MC_RUNS}x{UNGM_STEPS} f64: {t_ungm:.3f}s (RMSE {rmse_ungm:.3f})")
+
+    # ---------------- reentry ----------------
+    dyn_re = ReentryVehicle2DTransition.create(
+        GaussRV.create(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                       cov=np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0])),
+        GaussRV.create(3, cov=np.diag([2.4064e-5, 2.4064e-5, 1e-6])), dt=0.05)
+    obs_re = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([1e-3, 1e-5])),
+                                       dim_state=5, state_index=[0, 1],
+                                       radar_loc=np.array([6374.0, 0.0]))
+    x_re = dyn_re.simulate_discrete(jax.random.PRNGKey(2), steps=REENTRY_STEPS, mc_sims=MC_RUNS)
+    y_re = obs_re.simulate_measurements(jax.random.PRNGKey(3), x_re)
+    ys_re = jnp.moveaxis(y_re, -1, 0)
+    ukf_re = st.UnscentedKalman(dyn_re, obs_re)
+
+    run_re = jax.jit(lambda md, mo, td, to, b: jax.vmap(
+        lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
+    out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
+    out_re.block_until_ready()
+    t0 = time.perf_counter()
+    out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
+    out_re.block_until_ready()
+    t_re = time.perf_counter() - t0
+    log(f"Reentry UKF {MC_RUNS}x{REENTRY_STEPS} f64: {t_re:.3f}s")
+
+    # keep the same y data for the baseline comparison subsets
+    y_np = np.asarray(y[..., :BASE_MC_UNGM])
+    y_re_np = np.asarray(y_re[..., :BASE_MC_REENTRY])
+    return t_ungm + t_re, y_np, y_re_np
+
+
+def baseline_reference(y_ungm, y_reentry):
+    """Time the actual reference implementation, single core, on subsets."""
+    import types
+    numba_stub = types.ModuleType("numba")
+    numba_stub.jit = lambda *a, **k: (lambda f: f)
+    sys.modules.setdefault("numba", numba_stub)
+    sys.path.insert(0, "/root/reference")
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    import scipy as sp
+    if not hasattr(np, "int"):
+        np.int = int
+    if not hasattr(np, "asscalar"):
+        np.asscalar = lambda a: np.asarray(a).item()
+    if not hasattr(sp, "log10"):
+        sp.log10 = np.log10
+    np.linalg.linalg = np.linalg
+
+    from ssmtoybox.ssmod import (UNGMTransition, UNGMMeasurement,
+                                 ReentryVehicle2DTransition, Radar2DMeasurement)
+    from ssmtoybox.ssinf import UnscentedKalman
+    from ssmtoybox.utils import GaussRV
+
+    dyn = UNGMTransition(GaussRV(1, cov=np.atleast_2d(5.0)), GaussRV(1, cov=np.atleast_2d(10.0)))
+    obs = UNGMMeasurement(GaussRV(1, cov=np.atleast_2d(1.0)), 1)
+    ukf = UnscentedKalman(dyn, obs)
+    t0 = time.perf_counter()
+    for s in range(y_ungm.shape[-1]):
+        ukf.forward_pass(y_ungm[..., s])
+        ukf.reset()
+    t_base_ungm = (time.perf_counter() - t0) * (MC_RUNS / y_ungm.shape[-1])
+
+    dyn_re = ReentryVehicle2DTransition(
+        GaussRV(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                cov=np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0])),
+        GaussRV(3, cov=np.diag([2.4064e-5, 2.4064e-5, 1e-6])), dt=0.05)
+    obs_re = Radar2DMeasurement(GaussRV(2, cov=np.diag([1e-3, 1e-5])), 5,
+                                state_index=[0, 1], radar_loc=np.array([6374.0, 0.0]))
+    ukf_re = UnscentedKalman(dyn_re, obs_re)
+    t0 = time.perf_counter()
+    for s in range(y_reentry.shape[-1]):
+        ukf_re.forward_pass(y_reentry[..., s])
+        ukf_re.reset()
+    t_base_re = (time.perf_counter() - t0) * (MC_RUNS / y_reentry.shape[-1])
+    return t_base_ungm + t_base_re
+
+
+def baseline_numpy(y_ungm, y_reentry):
+    """Self-contained single-core NumPy UKF baseline (same math as the
+    reference's sequential loop), used if /root/reference is unavailable."""
+    from numpy.linalg import cholesky
+    from scipy.linalg import cho_factor, cho_solve
+
+    def ut_pts_w(d, kappa=None):
+        kappa = max(3.0 - d, 0.0) if kappa is None else kappa
+        lam = (d + kappa) - d
+        c = np.sqrt(d + lam)
+        pts = np.hstack([np.zeros((d, 1)), c * np.eye(d), -c * np.eye(d)])
+        wm = np.full(2 * d + 1, 1.0 / (2 * (d + lam)))
+        wc = wm.copy()
+        wm[0] = lam / (d + lam)
+        wc[0] = wm[0] + 2.0
+        return pts, wm, wc
+
+    def run(y, f, h, m0, P0, Q, R, G):
+        d = m0.shape[0]
+        pts, wm, wc = ut_pts_w(d)
+        e = y.shape[0]
+        pts_y, wm_y, wc_y = ut_pts_w(d)
+        m, P = m0.copy(), P0.copy()
+        out = np.zeros((d, y.shape[1]))
+        for k in range(y.shape[1]):
+            X = m[:, None] + cholesky(P) @ pts
+            FX = np.stack([f(X[:, i], k) for i in range(X.shape[1])], axis=1)
+            m_pr = FX @ wm
+            dF = FX - m_pr[:, None]
+            P_pr = dF @ np.diag(wc) @ dF.T + G @ Q @ G.T
+            Xy = m_pr[:, None] + cholesky(P_pr) @ pts_y
+            HX = np.stack([h(Xy[:, i]) for i in range(Xy.shape[1])], axis=1)
+            y_pr = HX @ wm_y
+            dH = HX - y_pr[:, None]
+            S = dH @ np.diag(wc_y) @ dH.T + R
+            C = dH @ np.diag(wc_y) @ (Xy - m_pr[:, None]).T
+            gain = cho_solve(cho_factor(S), C).T
+            m = m_pr + gain @ (y[:, k] - y_pr)
+            P = P_pr - gain @ S @ gain.T
+            out[:, k] = m
+        return out
+
+    # UNGM
+    f = lambda x, k: 0.5 * x + 25 * x / (1 + x ** 2) + 8 * np.cos(1.2 * k)
+    h = lambda x: 0.05 * x ** 2
+    t0 = time.perf_counter()
+    for s in range(y_ungm.shape[-1]):
+        run(y_ungm[..., s], f, h, np.zeros(1), np.full((1, 1), 5.0),
+            np.full((1, 1), 10.0), np.eye(1), np.eye(1))
+    t_base_ungm = (time.perf_counter() - t0) * (MC_RUNS / y_ungm.shape[-1])
+
+    # reentry
+    dt, R0, H0, Gm0, b0 = 0.05, 6374.0, 13.406, 3.9860e5, -0.59783
+
+    def f_re(x, k):
+        b = b0 * np.exp(x[4])
+        Rr = np.sqrt(x[0] ** 2 + x[1] ** 2)
+        V = np.sqrt(x[2] ** 2 + x[3] ** 2)
+        D = b * np.exp((R0 - Rr) / H0) * V
+        Gf = -Gm0 / Rr ** 3
+        return np.array([x[0] + dt * x[2], x[1] + dt * x[3],
+                         x[2] + dt * (D * x[2] + Gf * x[0]),
+                         x[3] + dt * (D * x[3] + Gf * x[1]), x[4]])
+
+    def h_re(x):
+        dx, dy = x[0] - 6374.0, x[1]
+        return np.array([np.sqrt(dx ** 2 + dy ** 2), np.arctan2(dy, dx)])
+
+    G_re = np.vstack([np.zeros((2, 3)), np.eye(3)])
+    t0 = time.perf_counter()
+    for s in range(y_reentry.shape[-1]):
+        run(y_reentry[..., s], f_re, h_re,
+            np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+            np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0]),
+            np.diag([2.4064e-5, 2.4064e-5, 1e-6]), np.diag([1e-3, 1e-5]), G_re)
+    t_base_re = (time.perf_counter() - t0) * (MC_RUNS / y_reentry.shape[-1])
+    return t_base_ungm + t_base_re
+
+
+def main():
+    t_tpu, y_np, y_re_np = tpu_run()
+    try:
+        if os.path.isdir("/root/reference"):
+            t_base = baseline_reference(y_np, y_re_np)
+            base_kind = "reference-numpy"
+        else:
+            raise FileNotFoundError
+    except Exception as e:  # fall back to the self-contained baseline
+        log("reference baseline unavailable:", repr(e))
+        t_base = baseline_numpy(y_np, y_re_np)
+        base_kind = "local-numpy"
+    log(f"TPU total: {t_tpu:.3f}s | baseline({base_kind}, extrapolated to {MC_RUNS}): {t_base:.1f}s")
+    print(json.dumps({
+        "metric": "ungm500+reentry100_10k_mc_filtering_wallclock_f64",
+        "value": round(t_tpu, 4),
+        "unit": "s",
+        "vs_baseline": round(t_base / t_tpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Shared harness for the reproducible experiment scripts.
+
+Replaces the reference's per-script metric aggregation loops
+(``research/gpq/icinco_demo.py:17-79``, ``research/tpq/tpq_base.py:154-192``):
+all Monte-Carlo runs of a filter execute as one vmapped program, and the
+RMSE / NCI / inclination / NLL scores reduce on-device.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from ssmtoybox_tpu.utils.linalg import pd_solve, pd_logdet
+
+
+def setup_jax(use_x64: bool = True):
+    if use_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _lcr(err, P, iMSE_err, d_sel):
+    e = err[d_sel]
+    q_p = e @ pd_solve(P[jnp.ix_(d_sel, d_sel)], e)
+    q_m = e @ iMSE_err
+    return 10.0 * (jnp.log10(q_p) - jnp.log10(q_m))
+
+
+@jax.jit
+def study_scores(x_true, fi_mean, fi_cov):
+    """Time-averaged scores per MC run.
+
+    Parameters
+    ----------
+    x_true : (D, N, M) true states.
+    fi_mean : (M, D, N) filtered means.
+    fi_cov : (M, D, D, N) filtered covariances.
+
+    Returns
+    -------
+    dict with per-run arrays (M,): ``rmse``, ``nci``, ``inc``, ``nll``.
+    """
+    x = jnp.moveaxis(x_true, -1, 0)                       # (M, D, N)
+    err = fi_mean - x                                     # (M, D, N)
+    m = err.shape[0]
+
+    rmse_runs = jnp.sqrt(jnp.mean(jnp.sum(err ** 2, axis=1), axis=-1))  # (M,)
+
+    # per-time-step sample MSE matrix over runs (cf. utils.py:41-64)
+    MSE = jnp.einsum("mdn,men->nde", err, err) / m        # (N, D, D)
+    jitter = 1e-12 * jnp.eye(err.shape[1], dtype=err.dtype)
+
+    def one_step(e_k, P_k, MSE_k):
+        # e_k (M, D), P_k (M, D, D)
+        iMSE_e = jax.vmap(lambda e: pd_solve(MSE_k + jitter, e))(e_k)
+        q_m = jnp.sum(e_k * iMSE_e, axis=-1)
+        q_p = jax.vmap(lambda e, P: e @ pd_solve(P, e))(e_k, P_k)
+        lcr = 10.0 * (jnp.log10(q_p) - jnp.log10(q_m))
+        nll = 0.5 * (jax.vmap(pd_logdet)(P_k) + q_p
+                     + e_k.shape[-1] * jnp.log(2 * jnp.pi))
+        return lcr, nll
+
+    lcr, nll = jax.vmap(one_step, in_axes=(2, 3, 0), out_axes=1)(
+        err, fi_cov, MSE)                                  # (M, N)
+    return {
+        "rmse": rmse_runs,
+        "nci": jnp.mean(jnp.abs(lcr), axis=1),
+        "inc": jnp.mean(lcr, axis=1),
+        "nll": jnp.mean(nll, axis=1),
+    }
+
+
+def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True):
+    """Run every filter over all MC trajectories (vmapped) and score it.
+
+    ``y``/``x`` follow the reference layout (dim, steps, mc_sims).
+    Returns (scores_df, raw) where ``scores_df`` is a pandas table of
+    mean +/- 2*std-of-mean per algorithm.
+    """
+    ys = jnp.moveaxis(jnp.asarray(y), -1, 0)
+    rows = {}
+    raw = {}
+    for name, alg in algs.items():
+        t0 = time.time()
+        res = alg.forward_pass_batch(ys)
+        jax.block_until_ready(res)
+        t_run = time.time() - t0
+        scores = score_fn(jnp.asarray(x), res.fi_mean, res.fi_cov)
+        raw[name] = (res, scores)
+        m = ys.shape[0]
+        row = {}
+        for k, v in scores.items():
+            row[k] = float(jnp.mean(v))
+            row[k + "_2std"] = float(2 * jnp.std(v) / np.sqrt(m))
+        row["wallclock_s"] = t_run
+        rows[name] = row
+        if verbose:
+            print(f"{name:>12}: done in {t_run:6.3f} s", file=sys.stderr)
+    return pd.DataFrame(rows).T, raw
+
+
+def print_tables(df: pd.DataFrame, title: str, latex: bool = False):
+    print(f"\n===== {title} =====")
+    with pd.option_context("display.width", 160, "display.float_format", "{:.4f}".format):
+        print(df)
+    if latex:
+        print(df.to_latex(float_format="%.4f"))

@@ -17,6 +17,8 @@ from . import mtran
 from . import ssmod
 from . import ssinf
 from . import bq
+from . import ops
+from . import parallel
 
 from .utils import GaussRV, StudentRV, GaussianMixtureRV
 from .mtran import (

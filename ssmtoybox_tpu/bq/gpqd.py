@@ -1,0 +1,246 @@
+"""GPQ with derivative observations (GPQ+D).
+
+TPU-first re-design of ``research/gpqd/gpqd_base.py``: the RBF derivative
+kernel (joint function/derivative covariance blocks Kff/Kfd/Kdd), its
+Gaussian-weighted expectations, the GP model with derivative observations and
+the corresponding BQ moment transform.  Capability parity per SURVEY §7 item 4
+(the MLSP-2016 GPQ+D line of work; ``ExtendedKalmanGPQD`` consumes the
+single-point limit via :class:`ssmtoybox_tpu.mtran.TaylorGPQDTransform`).
+
+The reference builds the block matrices with quadruple Python loops
+(``gpqd_base.py:170-183``); here every block is one broadcasted expression,
+and integrand Jacobians come from ``jax.jacfwd`` instead of hand-coded
+``dx=True`` branches.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..mtran import MomentTransform
+from ..utils.linalg import pd_solve, symmetrize
+from .kernels import RBFGauss, _unpack_rbf
+from .models import BQWeights, GaussianProcessModel
+from .transforms import BQTransform, _jit_weights
+
+__all__ = ["RBFGaussDer", "GaussianProcessDerModel", "GaussianProcessDerTransform"]
+
+
+class RBFGaussDer(RBFGauss):
+    """RBF kernel with derivative blocks (``gpqd_base.py:129-357``).
+
+    Derivatives are assumed observed at the points selected by ``which_der``
+    (all points by default).  Column/block layout matches the reference:
+    function-value columns first, then per-derivative-point blocks of D
+    columns.
+    """
+
+    def eval(self, par, x1, x2=None, diag=False, scaling=True, which_der=None):
+        """Joint kernel matrix ``[[Kff, Kfd], [Kfd^T, Kdd]]``
+        (``gpqd_base.py:135-187``)."""
+        sym = x2 is None
+        if x2 is None:
+            x2 = x1
+        alpha, ell = _unpack_rbf(par)
+        alpha = alpha if scaling else 1.0
+        inv_lam = ell ** -2
+
+        s1 = x1 / ell[:, None]
+        s2 = x2 / ell[:, None]
+        if diag:
+            dx = s1 - s2
+            return jnp.exp(2.0 * jnp.log(alpha) - 0.5 * jnp.sum(dx * dx, axis=0))
+        from ..utils.linalg import maha
+        Kff = jnp.exp(2.0 * jnp.log(alpha) - 0.5 * maha(s1.T, s2.T))  # (N1, N2)
+
+        n1 = x1.shape[1]
+        which_der = jnp.arange(n1) if which_der is None else jnp.asarray(which_der)
+        nd = which_der.shape[0]
+        d = x1.shape[0]
+
+        # Lam^-1-scaled points; the reference's pairwise difference is
+        # ``XmX[:, i, j] = (Lam^-1 x2)[:, i] - (Lam^-1 x1)[:, j]``
+        # (``gpqd_base.py:164-167``) — rows indexed by x2, columns by x1.
+        z1 = inv_lam[:, None] * x1
+        z2 = inv_lam[:, None] * x2
+        XmX = z2[:, :, None] - z1[:, None, :]                            # (D, N2, N1)
+
+        # Kfd[i, (j, d)] = Kff[i, j_d] * XmX[d, i, j_d]   (gpqd_base.py:170-175)
+        Kfd = jnp.einsum("ij,dij->ijd", Kff[:, which_der], XmX[:, :, which_der])
+        Kfd = Kfd.reshape(-1, nd * d)
+
+        # Kdd[(i,d1),(j,d2)] = Kff[i_d, j_d] * (Lam^-1[d1,d2] - XmX[d1,i,j] XmX[d2,i,j])
+        # (gpqd_base.py:177-183); on the derivative block x1 == x2.
+        Kff_dd = Kff[jnp.ix_(which_der, which_der)]
+        Xd = XmX[:, which_der][:, :, which_der]                          # (D, Nd, Nd)
+        outer = jnp.einsum("aij,bij->ijab", Xd, Xd)                      # (Nd, Nd, D, D)
+        Kdd = Kff_dd[:, :, None, None] * (jnp.diag(inv_lam)[None, None] - outer)
+        Kdd = jnp.transpose(Kdd, (0, 2, 1, 3)).reshape(nd * d, nd * d)
+
+        if sym:
+            return jnp.block([[Kff, Kfd], [Kfd.T, Kdd]])
+        return jnp.concatenate([Kff, Kfd], axis=1)
+
+    def eval_inv_dot(self, par, x, b=None, scaling=True, which_der=None):
+        """Jittered inverse of the joint kernel matrix (``gpqd_base.py:189-220``)."""
+        d, n = x.shape
+        nd = n if which_der is None else len(which_der)
+        K = self.eval(par, x, scaling=scaling, which_der=which_der)
+        A = K + self.jitter * jnp.eye(n + nd * d, dtype=K.dtype)
+        eye = jnp.eye(n + nd * d, dtype=K.dtype)
+        out = pd_solve(A, eye if b is None else b)
+        return symmetrize(out) if b is None else out
+
+    def eval_chol(self, par, x, scaling=True, which_der=None):
+        d, n = x.shape
+        nd = n if which_der is None else len(which_der)
+        K = self.eval(par, x, scaling=scaling, which_der=which_der)
+        return jnp.linalg.cholesky(K + self.jitter * jnp.eye(n + nd * d, dtype=K.dtype))
+
+    # -- derivative expectations (``gpqd_base.py:251-357``) --------------------
+    def _der_quants(self, par, x):
+        _, ell = _unpack_rbf(par)
+        inv_lam = ell ** -2                       # diag Lam^-1
+        sig_q = 1.0 / (inv_lam + 1.0)             # diag (Lam^-1 + I)^-1
+        eta = sig_q[:, None] * x                  # (D, N)
+        mu_q = inv_lam[:, None] * eta             # (D, N)
+        return inv_lam, sig_q, eta, mu_q
+
+    def exp_x_dkx(self, par, x, scaling=False, which_der=None):
+        """``E_x[k_fd(x, x_n)]`` (``gpqd_base.py:251-269``); (Nd*D,)."""
+        n = x.shape[1]
+        which_der = np.arange(n) if which_der is None else np.asarray(which_der)
+        inv_lam, _, _, mu_q = self._der_quants(par, x)
+        q = self.exp_x_kx(par, x, scaling)
+        r = q[None, which_der] * inv_lam[:, None] * (mu_q[:, which_der] - x[:, which_der])
+        return r.T.reshape(-1)
+
+    def exp_x_xdkx(self, par, x, scaling=False, which_der=None):
+        """``E_x[x k_fd(x, x_m)]`` (``gpqd_base.py:271-294``); (D, Nd*D)."""
+        d, n = x.shape
+        which_der = np.arange(n) if which_der is None else np.asarray(which_der)
+        inv_lam, sig_q, _, mu_q = self._der_quants(par, x)
+        q = self.exp_x_kx(par, x, scaling)
+        r = q[None, which_der] * inv_lam[:, None] * (mu_q[:, which_der] - x[:, which_der])
+        i_lam_sig = jnp.diag(inv_lam * sig_q)                       # (D, D)
+        # blocks[i] = q[i] * iLamSig + outer(mu_q[:, i], r[:, i])   (gpqd_base.py:289-293)
+        blocks = (q[which_der][:, None, None] * i_lam_sig[None]
+                  + jnp.einsum("di,ei->ide", mu_q[:, which_der], r))   # (Nd, D, D)
+        # r_tilde: concatenate the (D, D) blocks along columns -> (D, Nd*D)
+        return jnp.moveaxis(blocks, 0, 1).reshape(d, -1)
+
+    def exp_x_kxdkx(self, par, x, scaling=False, which_der=None):
+        """``E_x[k_ff(x_n, x) k_fd(x, x_m)]`` (``gpqd_base.py:296-324``); (N, Nd*D)."""
+        d, n = x.shape
+        which_der = np.arange(n) if which_der is None else np.asarray(which_der)
+        inv_lam, sig_q, eta, _ = self._der_quants(par, x)
+        _, ell = _unpack_rbf(par)
+        lam = ell ** 2
+        inn = inv_lam[:, None] * x                                   # (D, N)
+        Q = self.exp_x_kxkx(par, par, x, scaling)                    # (N, N)
+        eta_tilde = inv_lam[:, None] * (eta / (lam + sig_q)[:, None])  # (D, N)
+        # mu_Q[:, i, j] = eta_tilde_i + eta_tilde_j
+        # E_dfff[(i,d), j] = Q[i_d, j] * (mu_Q[d, i_d, j] - inn[d, i_d])
+        mu_Q = eta_tilde[:, which_der, None] + eta_tilde[:, None, :]   # (D, Nd, N)
+        body = Q[which_der, :][None] * (mu_Q - inn[:, which_der, None])  # (D, Nd, N)
+        E_dfff = jnp.moveaxis(body, 0, 1).reshape(len(which_der) * d, n)
+        return E_dfff.T
+
+    def exp_x_dkxdkx(self, par, x, scaling=False, which_der=None):
+        """``E_x[k_df(x_n, x) k_fd(x, x_m)]`` (``gpqd_base.py:326-357``); (Nd*D, Nd*D)."""
+        d, n = x.shape
+        which_der = np.arange(n) if which_der is None else np.asarray(which_der)
+        inv_lam, sig_q, eta, _ = self._der_quants(par, x)
+        _, ell = _unpack_rbf(par)
+        lam = ell ** 2
+        inn = inv_lam[:, None] * x
+        Q = self.exp_x_kxkx(par, par, x, scaling)
+        eta_tilde = inv_lam[:, None] * (eta / (lam + sig_q)[:, None])
+        sig_Q = jnp.diag(sig_q / (lam + sig_q) * inv_lam)            # (D, D)
+
+        wd = which_der
+        mu_Q = eta_tilde[:, wd, None] + eta_tilde[:, None, wd]       # (D, Nd, Nd)
+        di = inn[:, wd, None] - mu_Q                                  # (D, Nd, Nd): inn_i - mu_Q_ij
+        dj = inn[:, None, wd] - mu_Q                                  # (D, Nd, Nd): inn_j - mu_Q_ij
+        T = jnp.einsum("aij,bij->ijab", di, dj) + sig_Q[None, None]   # (Nd, Nd, D, D)
+        body = Q[jnp.ix_(wd, wd)][:, :, None, None] * T
+        return jnp.transpose(body, (0, 2, 1, 3)).reshape(len(wd) * d, len(wd) * d)
+
+
+class GaussianProcessDerModel(GaussianProcessModel):
+    """GP model with derivative observations (``gpqd_base.py:55-126``)."""
+
+    which_der: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+
+    @classmethod
+    def create(cls, dim, kern_par, point_str="ut", point_par=None, estimate_par=False,
+               which_der=None, dtype=None):
+        from .kernels import get_kernel  # noqa: F401 (parity with base builder)
+        from ..points import get_points
+        kernel = RBFGaussDer.create(dim, kern_par, dtype=dtype)
+        points = jnp.asarray(get_points(dim, point_str, point_par), dtype=kernel.par.dtype)
+        num_pts = points.shape[1]
+        wd = tuple(range(num_pts)) if which_der is None else tuple(int(i) for i in which_der)
+        return cls(kernel=kernel, points=points, dim_in=dim, num_pts=num_pts,
+                   str_pts=point_str, estimate_par=estimate_par, which_der=wd)
+
+    def bq_weights(self, par=None, *args) -> BQWeights:
+        """Joint function+derivative BQ weights (``gpqd_base.py:66-105``)."""
+        par = self.kernel.get_parameters(par)
+        x = self.points
+        wd = np.asarray(self.which_der)
+
+        iK = self.kernel.eval_inv_dot(par, x, scaling=False, which_der=wd)
+
+        q = self.kernel.exp_x_kx(par, x)
+        Q = self.kernel.exp_x_kxkx(par, par, x)
+        R = self.kernel.exp_x_xkx(par, x)
+        qd = self.kernel.exp_x_dkx(par, x, which_der=wd)
+        Qfd = self.kernel.exp_x_kxdkx(par, x, which_der=wd)
+        Qdd = self.kernel.exp_x_dkxdkx(par, x, which_der=wd)
+        Rd = self.kernel.exp_x_xdkx(par, x, which_der=wd)
+
+        q_tilde = jnp.concatenate([q, qd])
+        Q_tilde = jnp.block([[Q, Qfd], [Qfd.T, Qdd]])
+        R_tilde = jnp.concatenate([R, Rd], axis=1)
+
+        w_m = q_tilde @ iK
+        w_c = symmetrize(iK @ Q_tilde @ iK)
+        w_cc = R_tilde @ iK
+
+        model_var = self.kernel.exp_x_kxx(par) * (1.0 - jnp.trace(Q_tilde @ iK))
+        integral_var = self.kernel.exp_xy_kxy(par) - q_tilde @ iK @ q_tilde
+        return BQWeights(wm=w_m, Wc=w_c, Wcc=w_cc, model_var=model_var,
+                         integral_var=integral_var, q=q_tilde, Q=Q_tilde, iK=iK)
+
+
+class GaussianProcessDerTransform(BQTransform):
+    """GPQ+D moment transform (``gpqd_base.py:11-52``).
+
+    The integrand evaluation stacks function values and Jacobian columns:
+    ``fx_tilde = [f(x_1)..f(x_N), df(x_{i})/dx for i in which_der]`` with the
+    same column layout as the weights.  Jacobians come from ``jax.jacfwd`` of
+    the integrand (the reference calls ``f(..., dx=True)``).
+    """
+
+    @classmethod
+    def create(cls, dim_in, dim_out, kern_par, point_str="ut", point_par=None,
+               estimate_par=False, which_der=None, dtype=None):
+        model = GaussianProcessDerModel.create(dim_in, kern_par, point_str, point_par,
+                                               estimate_par, which_der, dtype)
+        w = _jit_weights(model)
+        return cls(model=model, wm=w.wm, Wc=w.Wc, Wcc=w.Wcc, model_var=w.model_var,
+                   integral_var=w.integral_var, iK=w.iK, dim_out=dim_out)
+
+    def _fcn_eval(self, f, x, fcn_par):
+        fx = jax.vmap(lambda c: jnp.atleast_1d(f(c, fcn_par)), in_axes=1, out_axes=1)(x)
+        wd = jnp.asarray(np.asarray(self.model.which_der))
+        jac = jax.vmap(
+            lambda c: jnp.atleast_2d(jax.jacfwd(lambda v: jnp.atleast_1d(f(v, fcn_par)))(c)),
+            in_axes=1)(x[:, wd])                       # (Nd, E, D)
+        dfx = jnp.moveaxis(jac, 0, 1).reshape(fx.shape[0], -1)  # (E, Nd*D)
+        return jnp.concatenate([fx, dfx], axis=1)

@@ -130,19 +130,27 @@ class StudentTProcessTransform(BQTransform):
     ``emv = (nu - 2 + f iK f^T) / (nu - 2 + N) * gp_emv`` (``bqmod.py:1132-1160``),
     broadcast against ``I_out`` exactly like the reference (for the filters'
     ``dim_out=1`` this adds the full (E, E) scale matrix, ``bqmtran.py:394-415``).
+
+    Compat note: in the reference, the transform's ``nu`` argument never
+    reaches the model — ``BQTransform._get_model`` drops ``**kwargs`` for the
+    ``'tp'`` case (``bqmtran.py:271-272``), so the TP model always runs with
+    its default ``nu = 4.0`` (``bqmod.py:1085``).  ``compat_drop_nu=True``
+    (default) reproduces that; pass ``False`` to honour ``nu``.
     """
 
     @classmethod
     def create(cls, dim_in, dim_out, kern_par, kern_str="rbf", point_str="ut",
-               point_par=None, estimate_par=False, nu=3.0, dtype=None):
+               point_par=None, estimate_par=False, nu=3.0, dtype=None,
+               compat_drop_nu=True):
         kern_kwargs = {}
         if kern_str == "rbf-student":
             # Student kernel expectations need the input density's dof, carried
             # in the point parameters (cf. ``ssinf.py:817-833``).
             kern_kwargs["dof"] = dict(point_par or {}).get("dof", 4.0)
+        model_nu = 4.0 if compat_drop_nu else nu
         model = StudentTProcessModel.create(dim_in, kern_par, kern_str, point_str,
-                                            point_par, estimate_par, nu=nu, dtype=dtype,
-                                            **kern_kwargs)
+                                            point_par, estimate_par, nu=model_nu,
+                                            dtype=dtype, **kern_kwargs)
         w = _jit_weights(model)
         return cls(model=model, wm=w.wm, Wc=w.Wc, Wcc=w.Wcc, model_var=w.model_var,
                    integral_var=w.integral_var, iK=w.iK, dim_out=dim_out)

@@ -1,0 +1,206 @@
+"""Pallas TPU kernels for the framework's hot compute paths.
+
+Two kernels, chosen by profiling the reference's cost structure (SURVEY §3.3):
+
+1. :func:`student_expectations` — THE expensive init path: the RBF-Student
+   kernel expectations behind TPQ weights are Monte-Carlo averages over ~2e6
+   samples (``bqkern.py:457-536``; the reference loops 1000 NumPy batches).
+   The fused kernel streams sample chunks HBM->VMEM and accumulates all three
+   expectations
+
+       q = E[k(x, x_n)],  R = E[x k(x, x_n)],  Q = E[k(x, x_i) k(x, x_j)]
+
+   in one pass: the (chunk, N) Gram tile never leaves VMEM, and the three
+   reductions are MXU matmuls against it.  The jnp fallback materializes the
+   Gram tile per batch in HBM three times.
+
+2. :func:`vandermonde` — the reference's single natively-accelerated function
+   (Numba-JIT, ``utils.py:478-502``); here a static-unrolled VPU kernel over
+   the (compile-time) multi-index.
+
+Pallas TPU compute is float32 (Mosaic has no f64 VPU/MXU path); both kernels
+run in f32 with f64 in/out casts.  That is exact for ``vandermonde`` on
+sigma-point-scale inputs and far below the O(1e-3) Monte-Carlo error of the
+Student expectations; callers needing bitwise-f64 semantics use the jnp
+fallbacks (automatic off-TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.rand import multivariate_t
+
+__all__ = ["student_expectations", "vandermonde"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fused RBF-Student Monte-Carlo expectations
+# ---------------------------------------------------------------------------
+
+def _student_exp_kernel(inv_l_ref, xs_ref, xp_ref, q_ref, r_ref, Q_ref):
+    """One grid step: fold a (C, Dp) sample chunk into the running q/R/Q.
+
+    All operands live in VMEM; the Gram tile ``k`` exists only as a register/
+    VMEM intermediate.  Output specs map every grid step to the same block, so
+    accumulation across chunks is the standard revisiting pattern.
+    """
+    i = pl.program_id(0)
+
+    xs = xs_ref[:]                                   # (C, Dp) raw samples
+    xp = xp_ref[:]                                   # (Np, Dp) raw points
+    inv_l = inv_l_ref[:]                             # (1, Dp); 0 in padded dims
+
+    s = xs * inv_l
+    p = xp * inv_l
+    s2 = jnp.sum(s * s, axis=1, keepdims=True)       # (C, 1)
+    p2 = jnp.sum(p * p, axis=1, keepdims=True).T     # (1, Np)
+    # Gram tile on the MXU; padded points sit ~1e3 away -> exp(-big) == 0
+    k = jnp.exp(-0.5 * (s2 + p2) + jnp.dot(s, p.T, preferred_element_type=jnp.float32))
+
+    q_c = jnp.sum(k, axis=0, keepdims=True)                              # (1, Np)
+    r_c = jnp.dot(xs.T, k, preferred_element_type=jnp.float32)           # (Dp, Np)
+    Q_c = jnp.dot(k.T, k, preferred_element_type=jnp.float32)            # (Np, Np)
+
+    @pl.when(i == 0)
+    def _():
+        q_ref[:] = q_c
+        r_ref[:] = r_c
+        Q_ref[:] = Q_c
+
+    @pl.when(i > 0)
+    def _():
+        q_ref[:] = q_ref[:] + q_c
+        r_ref[:] = r_ref[:] + r_c
+        Q_ref[:] = Q_ref[:] + Q_c
+
+
+def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
+                         key=None, chunk: int = 8192,
+                         interpret: bool | None = None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused MC estimates of (q, R, Q) for the RBF-Student kernel.
+
+    Drop-in accelerated equivalent of calling ``RBFStudent.exp_x_kx`` /
+    ``exp_x_xkx`` / ``exp_x_kxkx`` separately (each re-sampling and re-
+    evaluating the Gram matrix, ``bqkern.py:476-524``) — one sample stream,
+    one Gram evaluation, three reductions.
+
+    Parameters
+    ----------
+    par : (1, D+1) kernel parameters ``[s, l_1..l_D]`` (expectations are
+        computed unscaled, matching ``bq_weights``' ``scaling=False`` use).
+    x : (D, N) sigma-points.
+    dof : Student-t degrees of freedom of the weighting density.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    par = jnp.asarray(par).reshape(-1)
+    ell = par[1:]
+    d, n = x.shape
+    in_dtype = x.dtype
+
+    dp = _round_up(max(d, 1), 8)
+    np_pad = _round_up(max(n, 1), 128)
+    num_chunks = max(num_samples // chunk, 1)
+    total = num_chunks * chunk
+
+    # samples (f32): Student-t via the Gamma-mixture construction
+    samples = multivariate_t(key, jnp.zeros(d, jnp.float32), jnp.eye(d, dtype=jnp.float32),
+                             dof, (total,))                     # (S, D)
+    xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
+
+    # points padded FAR away so padded columns contribute exactly zero
+    xp = jnp.full((np_pad, dp), 1e3, jnp.float32).at[:n, :d].set(x.T.astype(jnp.float32))
+    inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
+
+    grid = (num_chunks,)
+    q, r, Q = pl.pallas_call(
+        _student_exp_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((dp, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((np_pad, np_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(inv_l, xs, xp)
+
+    inv_total = 1.0 / total
+    q_out = (q[0, :n] * inv_total).astype(in_dtype)
+    r_out = (r[:d, :n] * inv_total).astype(in_dtype)
+    Q_out = (Q[:n, :n] * inv_total).astype(in_dtype)
+    return q_out, r_out, Q_out
+
+
+# ---------------------------------------------------------------------------
+# Vandermonde matrix of multivariate monomials
+# ---------------------------------------------------------------------------
+
+def _vandermonde_kernel(mul_ind, x_ref, out_ref):
+    """Static-unrolled monomial products; ``mul_ind`` is a compile-time
+    constant (like the multi-index baked into BSQ weights)."""
+    x = x_ref[:]                                      # (Np, Dp)
+    d, q = mul_ind.shape
+    cols = []
+    for b in range(q):
+        col = jnp.ones_like(x[:, 0])
+        for dd in range(d):
+            e = int(mul_ind[dd, b])
+            if e:
+                col = col * x[:, dd] ** e
+        cols.append(col)
+    out_ref[:] = jnp.stack(cols, axis=1)
+
+
+def vandermonde(mul_ind, x, interpret: bool | None = None) -> jax.Array:
+    """Pallas twin of :func:`ssmtoybox_tpu.utils.combin.vandermonde`.
+
+    ``vdm[n, b] = prod_d x[d, n] ** mul_ind[d, b]`` — the reference's Numba
+    kernel (``utils.py:478-502``) as a TPU VPU kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mul_ind = np.asarray(mul_ind, dtype=np.int64)
+    x = jnp.asarray(x)
+    d, n = x.shape
+    q = mul_ind.shape[1]
+    in_dtype = x.dtype
+
+    np_pad = _round_up(max(n, 1), 8)
+    dp = _round_up(max(d, 1), 1)
+    qp = _round_up(max(q, 1), 128)
+    mul_pad = np.zeros((dp, qp), dtype=np.int64)
+    mul_pad[:d, :q] = mul_ind
+    xp = jnp.zeros((np_pad, dp), jnp.float32).at[:n, :d].set(x.T.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_vandermonde_kernel, mul_pad),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_pad, qp), jnp.float32),
+        interpret=interpret,
+    )(xp)
+    return out[:n, :q].astype(in_dtype)

@@ -150,12 +150,18 @@ def _smoothing_update(m_fi, P_fi, m_sm_next, P_sm_next, m_pr_next, P_pr_next, xx
 
 
 def gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
-                    init_mean=None, init_cov=None) -> FilterResult:
+                    init_mean=None, init_cov=None,
+                    theta_dyn=None, theta_obs=None) -> FilterResult:
     """Run the full Gaussian forward pass as one ``lax.scan``.
 
     Equivalent to ``StateSpaceInference.forward_pass`` (``ssinf.py:66-118``).
     ``data`` is (dim_y, N); measurement ``k`` (1-based) is processed with the
     dynamics evaluated at time ``k-1``, like the reference.
+
+    ``theta_dyn``/``theta_obs`` optionally override the transforms' parameters
+    per call (BQ transforms re-derive their weights from them inside the
+    traced program, ``bqmtran.py:93-95``) — this makes the whole filter
+    differentiable w.r.t. kernel parameters for end-to-end training.
     """
     m0, P0 = mod_dyn.init_rv.get_stats()[:2]
     m0 = m0 if init_mean is None else init_mean
@@ -166,7 +172,7 @@ def gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         m, P = carry
         y, k = inp
         m_pr, P_pr, xx, y_pr, S, xy = _gaussian_time_update(
-            mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k - 1)
+            mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k - 1, theta_dyn, theta_obs)
         m_fi, P_fi = _kalman_update(m_pr, P_pr, y_pr, S, xy, y)
         return (m_fi, P_fi), (m_pr, P_pr, xx, m_fi, P_fi)
 
@@ -546,16 +552,20 @@ class StudentProcessStudent(StudentianInference):
     """TPQSF: t-process quadrature Student filter (``ssinf.py:778-833``)."""
 
     def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, point_par=None, dof=4.0,
-                 fixed_dof=True, dof_tp=4.0):
+                 fixed_dof=True, dof_tp=4.0, compat_drop_nu=True):
         from .bq.transforms import StudentTProcessTransform
         q_dof, r_dof = dyn.noise_rv.dof, obs.noise_rv.dof
         point_par = dict(point_par or {})
         point_par_dyn = dict(point_par, dof=q_dof)
         point_par_obs = dict(point_par, dof=r_dof)
+        # compat_drop_nu=True reproduces the reference, where dof_tp never
+        # reaches the TP model (bqmtran.py:271-272); set False to honour it.
         t_dyn = StudentTProcessTransform.create(dyn.dim_in, 1, kern_par_dyn, "rbf-student",
-                                                "fs", point_par_dyn, nu=dof_tp)
+                                                "fs", point_par_dyn, nu=dof_tp,
+                                                compat_drop_nu=compat_drop_nu)
         t_obs = StudentTProcessTransform.create(obs.dim_in, 1, kern_par_obs, "rbf-student",
-                                                "fs", point_par_obs, nu=dof_tp)
+                                                "fs", point_par_obs, nu=dof_tp,
+                                                compat_drop_nu=compat_drop_nu)
         super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
 
 

@@ -6,7 +6,6 @@ the reference is specified at 1e-8.
 """
 import os
 
-# must happen before jax is imported anywhere
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -15,7 +14,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# NOTE: this environment's sitecustomize imports jax at interpreter start and
+# registers the TPU-tunnel platform, so the env vars above can be too late —
+# force the platform + device count through the config API (effective until
+# the backend is first initialized).
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except AttributeError:  # older jax: XLA_FLAGS fallback above applies
+    pass
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) >= 8, "tests require 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,71 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY §4 strategy)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu.parallel import (
+    make_mesh, shard_mc, filter_mc_sharded, mc_metrics_sharded, fit_kernel_params)
+from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
+from ssmtoybox_tpu.utils import GaussRV
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1), dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=40, mc_sims=16)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+    return dyn, obs, x, y
+
+
+def test_sharded_filter_matches_unsharded(setup):
+    dyn, obs, x, y = setup
+    mesh = make_mesh(dp=8, fb=1)
+    ukf = st.UnscentedKalman(dyn, obs)
+    batch = jnp.moveaxis(y, -1, 0)
+    sharded = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, batch, mesh)
+    local = ukf.forward_pass_batch(batch)
+    np.testing.assert_allclose(np.asarray(sharded.fi_mean), np.asarray(local.fi_mean),
+                               rtol=1e-10, atol=1e-10)
+    # the MC axis must actually be sharded over dp
+    assert "dp" in str(sharded.fi_mean.sharding.spec)
+
+
+def test_sharded_metrics(setup):
+    dyn, obs, x, y = setup
+    mesh = make_mesh(dp=8, fb=1)
+    ukf = st.UnscentedKalman(dyn, obs)
+    batch = jnp.moveaxis(y, -1, 0)
+    out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, batch, mesh)
+    m = mc_metrics_sharded(jnp.moveaxis(x, -1, 0), out, mesh)
+    assert np.isfinite(float(m))
+
+
+def test_dp_fb_mesh(setup):
+    mesh = make_mesh(dp=4, fb=2)
+    assert mesh.shape == {"dp": 4, "fb": 2}
+
+
+def test_fit_on_mesh_decreases_loss(setup):
+    dyn, _, _, _ = setup
+    from ssmtoybox_tpu.bq.models import GaussianProcessModel
+    mesh = make_mesh(dp=8, fb=1)
+    gp = GaussianProcessModel.create(1, np.array([[1.0, 1.0]]), "rbf", "ut")
+    fo = jax.vmap(lambda s: jax.vmap(lambda c: dyn.dyn_eval(c, 0), in_axes=1)(gp.points * s))(
+        jnp.linspace(0.5, 2.0, 16))
+    lp, losses = fit_kernel_params(gp, jnp.zeros(2), fo, gp.points, num_steps=40, mesh=mesh)
+    assert float(losses[-1]) < float(losses[0])
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_graft_entry_points():
+    """The driver-facing entry points compile and execute."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (5,) and out[1].shape == (5, 5)
+    g.dryrun_multichip(8)

@@ -89,7 +89,8 @@ def test_ungm_batch_matches_single(goldens):
 
 def test_ungm_nonadditive_parity(goldens):
     g = goldens["ungm_na"]
-    dyn = UNGMNATransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
+    dyn = UNGMNATransition.create(GaussRV.create(1, mean=1.0, cov=1.0),
+                                  GaussRV.create(1, cov=10.0))
     obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
     alg = st.UnscentedKalman(dyn, obs)
     fm, fP = alg.forward_pass(g["y"][..., 0])
@@ -299,6 +300,45 @@ def test_transform_apply_parity(goldens):
     assert_close(mf, g["p2c_gpq_mf"], "p2c gpq mean")
     assert_close(cf, g["p2c_gpq_cf"], "p2c gpq cov")
     assert_close(ccf, g["p2c_gpq_ccf"], "p2c gpq ccov")
+
+
+# ---------------------------------------------------------------------------
+# GPQ+D derivative kernel / weights / transform
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("prefix,dim", [("d1", 1), ("d2", 2)])
+def test_gpqd_kernel_parity(goldens, prefix, dim):
+    from ssmtoybox_tpu.bq.gpqd import RBFGaussDer
+    g = goldens["gpqd"]
+    x, par = g[f"{prefix}_x"], g[f"{prefix}_par"]
+    kern = RBFGaussDer.create(dim, par)
+    assert_close(kern.eval(par, jnp.asarray(x)), g[f"{prefix}_K"], "joint K")
+    assert_close(kern.exp_x_dkx(par, jnp.asarray(x)), g[f"{prefix}_qd"], "qd")
+    assert_close(kern.exp_x_xdkx(par, jnp.asarray(x)), g[f"{prefix}_Rd"], "Rd")
+    assert_close(kern.exp_x_kxdkx(par, jnp.asarray(x)), g[f"{prefix}_Qfd"], "Qfd")
+    assert_close(kern.exp_x_dkxdkx(par, jnp.asarray(x)), g[f"{prefix}_Qdd"], "Qdd")
+
+
+def test_gpqd_transform_parity(goldens):
+    from ssmtoybox_tpu.bq.gpqd import GaussianProcessDerTransform
+    g = goldens["gpqd"]
+    par = g["d2_par"]
+    tf = GaussianProcessDerTransform.create(2, 2, par, point_str="ut")
+    w = tf.model.bq_weights(par)
+    assert_close(w.wm, g["gpqd_wm"], "gpqd wm")
+    assert_close(w.Wc, g["gpqd_wc"], "gpqd Wc")
+    assert_close(w.Wcc, g["gpqd_wcc"], "gpqd Wcc")
+    assert_close(jnp.atleast_1d(w.model_var), g["gpqd_emv"], "gpqd emv")
+    assert_close(jnp.atleast_1d(w.integral_var), g["gpqd_ivar"], "gpqd ivar")
+
+    def p2c(x, pars):
+        return x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
+
+    mf, cf, ccf = tf.apply(p2c, jnp.asarray(g["gpqd_mean_in"]),
+                           jnp.asarray(g["gpqd_cov_in"]), None)
+    assert_close(mf, g["gpqd_mf"], "gpqd mean")
+    assert_close(cf, g["gpqd_cf"], "gpqd cov")
+    assert_close(ccf, g["gpqd_ccf"], "gpqd ccov")
 
 
 # ---------------------------------------------------------------------------

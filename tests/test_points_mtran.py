@@ -1,0 +1,125 @@
+"""Unit tests for point sets and classical moment transforms.
+
+Modelled on the reference's verification ideas (``tests/test_mtran.py``):
+shape checks for the recursive fully-symmetric sets, moment-exactness of the
+rules on polynomials, and transform behaviour on canonical nonlinearities.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssmtoybox_tpu import points as pts
+from ssmtoybox_tpu.mtran import (
+    LinearizationTransform, MonteCarloTransform, SphericalRadialTransform,
+    UnscentedTransform, GaussHermiteTransform, FullySymmetricStudentTransform,
+    TruncatedSphericalRadialTransform, TaylorGPQDTransform,
+)
+
+
+def test_point_counts():
+    # 2d, 2d+1, degree^d, 2d+1 / 2d^2+1 (cf. SURVEY §2.2 table)
+    for d in (1, 2, 3, 5):
+        assert pts.sr_points(d).shape == (d, 2 * d)
+        assert pts.ut_points(d).shape == (d, 2 * d + 1)
+        assert pts.fs_points(d, degree=3).shape == (d, 2 * d + 1)
+        assert pts.fs_points(d, degree=5, dof=6.0).shape == (d, 2 * d ** 2 + 1)
+    assert pts.gh_points(2, 4).shape == (2, 16)
+
+
+def test_weights_normalize():
+    for d in (1, 3):
+        assert np.isclose(pts.sr_weights(d).sum(), 1.0)
+        assert np.isclose(pts.ut_weights(d)[0].sum(), 1.0)
+        assert np.isclose(pts.gh_weights(d, 3).sum(), 1.0)
+        assert np.isclose(pts.fs_weights(d, 3).sum(), 1.0)
+        assert np.isclose(pts.fs_weights(d, 5, dof=7.0).sum(), 1.0)
+
+
+def test_gauss_rules_match_gaussian_moments():
+    """Degree-3 rules integrate x and x x^T exactly under N(0, I)."""
+    d = 3
+    for p, w in [(pts.sr_points(d), pts.sr_weights(d)),
+                 (pts.ut_points(d), pts.ut_weights(d)[0]),
+                 (pts.gh_points(d, 3), pts.gh_weights(d, 3))]:
+        np.testing.assert_allclose(p @ w, np.zeros(d), atol=1e-12)
+        np.testing.assert_allclose((p * w) @ p.T, np.eye(d), atol=1e-12)
+
+
+def test_fs_degree3_converges_to_ut():
+    """ST-3 -> UT-3 for dof -> inf (``mtran.py:383-384``)."""
+    d = 2
+    w_fs = pts.fs_weights(d, 3, dof=1e9)
+    p_fs = pts.fs_points(d, 3, dof=1e9)
+    np.testing.assert_allclose(w_fs, pts.ut_weights(d)[0], atol=1e-7)
+    np.testing.assert_allclose(p_fs, pts.ut_points(d), atol=1e-4)
+
+
+def test_ut_transform_exact_on_linear():
+    """Sigma-point transforms are exact for affine maps."""
+    A = jnp.asarray(np.random.RandomState(0).randn(3, 2))
+    b = jnp.asarray(np.array([0.3, -1.0, 2.0]))
+    mean = jnp.asarray(np.array([1.0, -0.5]))
+    cov = jnp.asarray(np.array([[0.6, 0.2], [0.2, 0.9]]))
+
+    tf = UnscentedTransform(2)
+    mf, cf, ccf = tf.apply(lambda x, p: A @ x + b, mean, cov, None)
+    np.testing.assert_allclose(mf, A @ mean + b, atol=1e-12)
+    np.testing.assert_allclose(cf, A @ cov @ A.T, atol=1e-12)
+    np.testing.assert_allclose(ccf, A @ cov, atol=1e-12)
+
+
+def test_linearization_matches_hand_jacobian():
+    """AD-based EKF linearization equals the analytic Jacobian (UNGM,
+    ``ssmod.py:271-272``)."""
+    mean = jnp.asarray(np.array([0.7]))
+    cov = jnp.asarray(np.array([[2.0]]))
+    f = lambda x, p: 0.5 * x + 25.0 * x / (1.0 + x ** 2)
+    tf = LinearizationTransform.create(1)
+    mf, cf, ccf = tf.apply(f, mean, cov, None)
+    jac = 0.5 + 25 * (1 - 0.7 ** 2) / (1 + 0.7 ** 2) ** 2
+    np.testing.assert_allclose(cf, jac ** 2 * 2.0, rtol=1e-12)
+
+
+def test_mc_transform_converges():
+    """MC transform approaches the UT result on a smooth function."""
+    mean = jnp.asarray(np.array([1.0, np.pi / 6]))
+    cov = jnp.asarray(np.diag([0.05 ** 2, (np.pi / 10) ** 2]))
+    f = lambda x, p: x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
+    mf_ut, _, _ = UnscentedTransform(2).apply(f, mean, cov, None)
+    mf_mc, _, _ = MonteCarloTransform.create(2, n=100_000, seed=1).apply(f, mean, cov, None)
+    np.testing.assert_allclose(mf_mc, mf_ut, atol=5e-3)
+
+
+def test_truncated_transform_runs():
+    tf = TruncatedSphericalRadialTransform(3, 2)
+    mean = jnp.asarray(np.array([1.0, 2.0, 3.0]))
+    cov = jnp.asarray(np.diag([1.0, 2.0, 3.0]))
+    f = lambda x, p: jnp.stack([x[0] + x[1]])
+    mf, cf, ccf = tf.apply(f, mean, cov, None)
+    assert mf.shape == (1,) and cf.shape == (1, 1) and ccf.shape == (1, 3)
+    assert bool(jnp.isfinite(cf).all())
+
+
+def test_taylor_gpqd_limits_to_linearization():
+    """TaylorGPQD -> linearization for length-scale -> infinity
+    (``mtran.py:668-672``)."""
+    mean = jnp.asarray(np.array([0.4]))
+    cov = jnp.asarray(np.array([[1.3]]))
+    f = lambda x, p: jnp.sin(x)
+    lin = LinearizationTransform.create(1).apply(f, mean, cov, None)
+    gpqd = TaylorGPQDTransform.create(1, np.array([[1.0, 1e4]])).apply(f, mean, cov, None)
+    np.testing.assert_allclose(gpqd[0], lin[0], rtol=1e-5)
+    np.testing.assert_allclose(gpqd[2], lin[2], rtol=1e-4)
+
+
+def test_transforms_jit_and_vmap():
+    """Transforms are jit-able and vmap-able over input moments."""
+    tf = UnscentedTransform(2)
+    f = lambda x, p: jnp.stack([x[0] * x[1], x[0] + x[1]])
+    means = jnp.asarray(np.random.RandomState(2).randn(16, 2))
+    covs = jnp.broadcast_to(jnp.eye(2), (16, 2, 2))
+    run = jax.jit(jax.vmap(lambda m, P: tf.apply(f, m, P, None)[0]))
+    out = run(means, covs)
+    assert out.shape == (16, 2)
+    np.testing.assert_allclose(out[0], tf.apply(f, means[0], covs[0], None)[0], rtol=1e-12)

@@ -1,0 +1,198 @@
+"""Unit tests for the SSM zoo and inference layer.
+
+Mirrors the reference's structural checks (``tests/test_ssmod.py``,
+``tests/test_ssinf.py``): simulator shapes, measurement-Jacobian scatter into
+full state dimensions, and filter/smoother smoke coverage across systems.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu.ssmod import (
+    UNGMTransition, UNGMNATransition, UNGMMeasurement, UNGMNAMeasurement,
+    Pendulum2DTransition, Pendulum2DMeasurement, ReentryVehicle1DTransition,
+    RangeMeasurement, ConstantTurnRateSpeed, ConstantVelocity, Radar2DMeasurement,
+    CoordinatedTurnTransition, BearingMeasurement)
+from ssmtoybox_tpu.utils import GaussRV, StudentRV
+
+
+@pytest.fixture(scope="module")
+def ungm():
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1), dim_state=1)
+    return dyn, obs
+
+
+class TestSimulators:
+    def test_discrete_shapes(self, ungm):
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=50, mc_sims=7)
+        assert x.shape == (1, 50, 7)
+        y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+        assert y.shape == (1, 50, 7)
+
+    def test_nonadditive_shapes(self):
+        dyn = ConstantTurnRateSpeed.create(GaussRV.create(5, cov=0.1 * np.eye(5)),
+                                           GaussRV.create(2, cov=np.diag([0.1, 0.1 * np.pi])))
+        x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=20, mc_sims=3)
+        assert x.shape == (5, 20, 3)
+        assert bool(jnp.isfinite(x).all())
+
+    def test_continuous_shapes(self):
+        dyn = ReentryVehicle1DTransition.create(
+            GaussRV.create(3, mean=np.array([90.0, 6.0, 1.7]),
+                           cov=np.diag([0.3048 ** 2, 1.2192 ** 2, 1e-4])),
+            GaussRV.create(3, cov=1e-10 * np.eye(3)), dt=0.1)
+        x = dyn.simulate_continuous(jax.random.PRNGKey(0), duration=2.0, dt=0.1, mc_sims=2)
+        assert x.shape == (3, 20, 2)
+        assert bool(jnp.isfinite(x).all())
+
+    def test_simulate_matches_reference_structure(self, ungm):
+        """x[:, 0] must be the init sample; steps use noise index k-1
+        (``ssmod.py:190-198``)."""
+        dyn, _ = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=3, mc_sims=1)
+        assert bool(jnp.isfinite(x).all())
+
+
+class TestMeasEval:
+    def test_jacobian_scatter(self):
+        """AD of meas_eval scatters sub-state Jacobians to state_index columns
+        (``ssmod.py:993-1006``, ``test_ssmod.py:78-96``)."""
+        obs = Radar2DMeasurement.create(GaussRV.create(2), dim_state=5, state_index=[0, 1])
+        x = jnp.asarray(np.array([6500.0, 350.0, -1.8, -6.8, 0.7]))
+        jac = jax.jacfwd(lambda v: obs.meas_eval(v, 0))(x)
+        assert jac.shape == (2, 5)
+        np.testing.assert_array_equal(np.asarray(jac[:, 2:]) != 0, np.zeros((2, 3), bool))
+        assert np.all(np.asarray(jac[:, :2]) != 0)
+
+    def test_bearing_sensor_count(self):
+        sensors = np.random.RandomState(0).randn(6, 2)
+        obs = BearingMeasurement.create(GaussRV.create(6, cov=1e-3 * np.eye(6)),
+                                        dim_state=5, state_index=[0, 2], sensor_pos=sensors)
+        assert obs.dim_out == 6 and obs.dim_noise == 6
+        y = obs.meas_eval(jnp.asarray(np.array([1.0, 0, 2.0, 0, 0])), 0)
+        assert y.shape == (6,)
+
+
+class TestFilters:
+    def test_all_gaussian_filters_run(self, ungm):
+        """Smoke across all concrete Gaussian filters (``test_ssinf.py:94-210``)."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=30, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(1), x)[..., 0]
+        kpar = np.array([[1.0, 3.0]])
+        mul = np.array([[0, 1, 2]])
+        filters = [
+            st.ExtendedKalman(dyn, obs),
+            st.CubatureKalman(dyn, obs),
+            st.UnscentedKalman(dyn, obs),
+            st.GaussHermiteKalman(dyn, obs, deg=5),
+            st.GaussianProcessKalman(dyn, obs, kpar, kpar),
+            st.BayesSardKalman(dyn, obs, np.array([[3.0, 0.3]]), np.array([[3.0, 0.3]]),
+                               mulind_dyn=mul, mulind_obs=mul),
+            st.StudentProcessKalman(dyn, obs, kpar, kpar),
+            st.ssinf.ExtendedKalmanGPQD(dyn, obs, kpar, kpar),
+            st.ssinf.TruncatedUnscentedKalman(dyn, obs),
+            st.ssinf.TruncatedCubatureKalman(dyn, obs),
+            st.ssinf.TruncatedGaussHermiteKalman(dyn, obs, degree=3),
+        ]
+        for alg in filters:
+            fm, fP = alg.forward_pass(y)
+            assert bool(jnp.isfinite(fm).all()), type(alg).__name__
+            if not isinstance(alg, (st.ssinf.TruncatedUnscentedKalman,)):
+                sm, sP = alg.backward_pass()
+                assert bool(jnp.isfinite(sm).all()), type(alg).__name__
+            alg.reset()
+            assert alg.fi_mean is None
+
+    def test_bsq_int_mulind_works(self, ungm):
+        """Unlike the reference (which crashes, bqmtran.py:338), integer
+        multi-indices are accepted."""
+        dyn, obs = ungm
+        y = obs.simulate_measurements(
+            jax.random.PRNGKey(1),
+            dyn.simulate_discrete(jax.random.PRNGKey(0), 10, 1))[..., 0]
+        alg = st.BayesSardKalman(dyn, obs, np.array([[3.0, 0.3]]), np.array([[3.0, 0.3]]),
+                                 mulind_dyn=2, mulind_obs=2)
+        fm, _ = alg.forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())
+
+    def test_smoother_full_mode(self, ungm):
+        """Textbook RTS (rts_full=True) smooths every step and beats the
+        filter on average."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=100, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(3), x)[..., 0]
+        alg = st.UnscentedKalman(dyn, obs)
+        fm, _ = alg.forward_pass(y)
+        sm_compat, _ = alg.backward_pass()
+        sm_full, _ = alg.backward_pass(rts_full=True)
+        x0 = x[..., 0]
+        rmse = lambda m: float(jnp.sqrt(jnp.mean((x0 - m) ** 2)))
+        assert rmse(sm_full) < rmse(fm)
+        # compat mode keeps the last two steps at their filtered values
+        np.testing.assert_allclose(sm_compat[:, -2:], fm[:, -2:], rtol=1e-12)
+
+    def test_batch_equals_single(self, ungm):
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(4), steps=25, mc_sims=5)
+        y = obs.simulate_measurements(jax.random.PRNGKey(5), x)
+        alg = st.UnscentedKalman(dyn, obs)
+        batch = alg.forward_pass_batch(jnp.moveaxis(y, -1, 0))
+        for s in range(5):
+            fm, _ = alg.forward_pass(y[..., s])
+            np.testing.assert_allclose(batch.fi_mean[s], fm, rtol=1e-12, atol=1e-12)
+
+    def test_student_filters_run(self):
+        dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                    StudentRV.create(1, scale=10.0, dof=4.0))
+        obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=30, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(1), x)[..., 0]
+        for deg in (3, 5):
+            alg = st.FullySymmetricStudent(dyn, obs, degree=deg, dof=4.0)
+            fm, fP = alg.forward_pass(y)
+            assert bool(jnp.isfinite(fm).all()), f"FSQ degree {deg}"
+        with pytest.raises(NotImplementedError):
+            alg.backward_pass()
+
+    def test_marginal_inference_runs(self, ungm):
+        """Marginalized-GPQ filter (per-step Laplace + SR quadrature,
+        ``ssinf.py:1034-1292``) on a short sequence."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(6), steps=5, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(7), x)[..., 0]
+        alg = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs)
+        fm, fP = alg.forward_pass(y)
+        assert fm.shape == (1, 5)
+        assert bool(jnp.isfinite(fm).all())
+        # Laplace posterior covariance must be PSD (test_ssinf.py:267-316)
+        evals = np.linalg.eigvalsh(np.asarray(alg.param_cov))
+        assert np.all(evals > 0)
+
+    def test_nonadditive_filter_runs(self):
+        dyn = UNGMNATransition.create(GaussRV.create(1, mean=1.0),
+                                      GaussRV.create(1, cov=10.0))
+        obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(8), steps=20, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(9), x)[..., 0]
+        fm, _ = st.UnscentedKalman(dyn, obs).forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())
+
+    def test_gpqd_filter_runs(self, ungm):
+        """Full GPQ+D transform inside a Gaussian filter."""
+        from ssmtoybox_tpu.bq.gpqd import GaussianProcessDerTransform
+        from ssmtoybox_tpu.ssinf import GaussianInference
+        dyn, obs = ungm
+        y = obs.simulate_measurements(
+            jax.random.PRNGKey(1),
+            dyn.simulate_discrete(jax.random.PRNGKey(0), 20, 1))[..., 0]
+        kpar = np.array([[1.0, 3.0]])
+        tf = GaussianProcessDerTransform.create(1, 1, kpar, point_str="ut")
+        th = GaussianProcessDerTransform.create(1, 1, kpar, point_str="ut")
+        alg = GaussianInference(dyn, obs, tf, th)
+        fm, fP = alg.forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())

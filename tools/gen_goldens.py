@@ -130,7 +130,11 @@ def main():
     # Scenario B: UNGM non-additive noise
     # =====================================================================
     np.random.seed(7)
-    dyn_na = UNGMNATransition(GaussRV(1, cov=np.atleast_2d(1.0)), GaussRV(1, cov=np.atleast_2d(10.0)))
+    # non-zero initial mean: with x0_mean = 0 the 0.05*r*x^2 measurement is
+    # numerically unobservable (S ~ 1e-68) and "parity" reduces to comparing
+    # summation-order noise
+    dyn_na = UNGMNATransition(GaussRV(1, mean=np.atleast_1d(1.0), cov=np.atleast_2d(1.0)),
+                              GaussRV(1, cov=np.atleast_2d(10.0)))
     obs_na = UNGMNAMeasurement(GaussRV(1, cov=np.atleast_2d(0.01)), dyn_na.dim_state)
     x = dyn_na.simulate_discrete(60, mc_sims=1)
     y = obs_na.simulate_measurements(x)
@@ -321,6 +325,58 @@ def main():
     data["p2c_gpq_mf"], data["p2c_gpq_cf"], data["p2c_gpq_ccf"] = mf, cf, ccf
     np.savez(os.path.join(OUT, "transforms.npz"), **data)
     print("transforms.npz done")
+
+    # =====================================================================
+    # Scenario H2: GPQ+D derivative-kernel expectations, weights and apply
+    # (reference lives in research/gpqd/gpqd_base.py, loaded by file path)
+    # =====================================================================
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gpqd_base", "/root/reference/research/gpqd/gpqd_base.py")
+    gpqd_base = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gpqd_base)
+
+    data = {}
+    rng = np.random.RandomState(31)
+    x1 = rng.randn(1, 3)
+    par1 = np.array([[1.0, 1.2]])
+    kd = gpqd_base.RBFGaussDer(1, par1)
+    data["d1_x"], data["d1_par"] = x1, par1
+    data["d1_K"] = kd.eval(par1, x1)
+    data["d1_qd"] = kd.exp_x_dkx(par1, x1)
+    data["d1_Rd"] = kd.exp_x_xdkx(par1, x1)
+    data["d1_Qfd"] = kd.exp_x_kxdkx(par1, x1)
+    data["d1_Qdd"] = kd.exp_x_dkxdkx(par1, x1)
+
+    x2g = rng.randn(2, 5)
+    par2g = np.array([[1.3, 0.9, 1.4]])
+    kd2 = gpqd_base.RBFGaussDer(2, par2g)
+    data["d2_x"], data["d2_par"] = x2g, par2g
+    data["d2_K"] = kd2.eval(par2g, x2g)
+    data["d2_qd"] = kd2.exp_x_dkx(par2g, x2g)
+    data["d2_Rd"] = kd2.exp_x_xdkx(par2g, x2g)
+    data["d2_Qfd"] = kd2.exp_x_kxdkx(par2g, x2g)
+    data["d2_Qdd"] = kd2.exp_x_dkxdkx(par2g, x2g)
+
+    # GPQ+D model weights + transform apply on polar2cartesian w/ Jacobian
+    tdm = gpqd_base.GaussianProcessDerTransform(2, 2, par2g, point_str="ut")
+    wm, wc, wcc, emv, ivar = tdm.model.bq_weights(par2g)
+    data["gpqd_wm"], data["gpqd_wc"], data["gpqd_wcc"] = wm, wc, wcc
+    data["gpqd_emv"], data["gpqd_ivar"] = np.atleast_1d(emv), np.atleast_1d(ivar)
+
+    def p2c(x, pars, dx=False):
+        if dx:
+            return np.array([[np.cos(x[1]), -x[0] * np.sin(x[1])],
+                             [np.sin(x[1]), x[0] * np.cos(x[1])]])
+        return x[0] * np.array([np.cos(x[1]), np.sin(x[1])])
+
+    mean_in = np.array([1.0, np.pi / 6])
+    cov_in = np.diag([0.05 ** 2, (np.pi / 10) ** 2])
+    mf, cf, ccf = tdm.apply(p2c, mean_in, cov_in, None)
+    data["gpqd_mf"], data["gpqd_cf"], data["gpqd_ccf"] = mf, cf, ccf
+    data["gpqd_mean_in"], data["gpqd_cov_in"] = mean_in, cov_in
+    np.savez(os.path.join(OUT, "gpqd.npz"), **data)
+    print("gpqd.npz done")
 
     # =====================================================================
     # Scenario I: metrics on fixed arrays
