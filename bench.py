@@ -56,12 +56,13 @@ def tpu_run():
 
     run_ungm = jax.jit(lambda md, mo, td, to, b: jax.vmap(
         lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
-    # compile + warmup
+    # compile + warmup; NOTE: completion is forced by fetching a scalar
+    # reduction — block_until_ready can return early through the TPU tunnel
     out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
-    out.block_until_ready()
+    float(jnp.sum(out))
     t0 = time.perf_counter()
     out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
-    out.block_until_ready()
+    float(jnp.sum(out))
     t_ungm = time.perf_counter() - t0
     rmse_ungm = float(jnp.sqrt(jnp.mean((jnp.moveaxis(x, -1, 0) - out) ** 2)))
     log(f"UNGM UKF {MC_RUNS}x{UNGM_STEPS} f64: {t_ungm:.3f}s (RMSE {rmse_ungm:.3f})")
@@ -82,10 +83,10 @@ def tpu_run():
     run_re = jax.jit(lambda md, mo, td, to, b: jax.vmap(
         lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
     out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
-    out_re.block_until_ready()
+    float(jnp.sum(out_re))
     t0 = time.perf_counter()
     out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
-    out_re.block_until_ready()
+    float(jnp.sum(out_re))
     t_re = time.perf_counter() - t0
     log(f"Reentry UKF {MC_RUNS}x{REENTRY_STEPS} f64: {t_re:.3f}s")
 

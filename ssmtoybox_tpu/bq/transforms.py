@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..mtran import MomentTransform, apply_f_columns
+from ..utils.linalg import chol_small
 from .models import (
     BayesSardModel,
     GaussianProcessModel,
@@ -73,7 +74,7 @@ class BQTransform(MomentTransform, struct.PyTreeNode):
     # -- moment computation (``bqmtran.py:60-224``) -----------------------------
     def apply(self, f, mean, cov, fcn_par, kern_par=None):
         wm, Wc, Wcc, model_var, iK = self._weight_bundle(kern_par)
-        chol_cov = jnp.linalg.cholesky(cov)
+        chol_cov = chol_small(cov)
         x = mean[:, None] + chol_cov @ self.model.points
         fx = self._fcn_eval(f, x, fcn_par)
         mean_f = self._mean(wm, fx)
@@ -195,7 +196,7 @@ class MultiOutputBQTransform(MomentTransform, struct.PyTreeNode):
         else:
             w = self.model.bq_weights(kern_par)
             wm, Wc, Wcc, Q, iK = w.wm, w.Wc, w.Wcc, w.Q, w.iK
-        chol_cov = jnp.linalg.cholesky(cov)
+        chol_cov = chol_small(cov)
         x = mean[:, None] + chol_cov @ self.model.points
         fx = apply_f_columns(f, x, fcn_par)
 

@@ -30,6 +30,7 @@ import numpy as np
 from flax import struct
 
 from . import points as pts
+from .utils.linalg import chol_small
 
 __all__ = [
     "MomentTransform",
@@ -106,7 +107,7 @@ class MonteCarloTransform(MomentTransform, struct.PyTreeNode):
         return cls(unit_sp=jnp.asarray(pts.mc_points(dim, n, seed), dtype=dtype), wm=wm, wc=wc)
 
     def apply(self, f, mean, cov, fcn_par):
-        L = jnp.linalg.cholesky(cov)
+        L = chol_small(cov)
         dx_in = L @ self.unit_sp
         x = mean[:, None] + dx_in
         fx = apply_f_columns(f, x, fcn_par)
@@ -130,7 +131,7 @@ class SigmaPointTransform(MomentTransform, struct.PyTreeNode):
     Wc: jax.Array       # (N, N)
 
     def apply(self, f, mean, cov, fcn_par):
-        L = jnp.linalg.cholesky(cov)
+        L = chol_small(cov)
         dx_in = L @ self.unit_sp
         x = mean[:, None] + dx_in
         fx = apply_f_columns(f, x, fcn_par)
@@ -215,8 +216,8 @@ class TruncatedSigmaPointTransform(MomentTransform, struct.PyTreeNode):
         mean_eff = mean[:d_eff]
         cov_eff = cov[:d_eff, :d_eff]
 
-        x_eff = mean_eff[:, None] + jnp.linalg.cholesky(cov_eff) @ self.unit_sp_eff
-        dx_in = jnp.linalg.cholesky(cov) @ self.unit_sp
+        x_eff = mean_eff[:, None] + chol_small(cov_eff) @ self.unit_sp_eff
+        dx_in = chol_small(cov) @ self.unit_sp
         x = mean[:, None] + dx_in
 
         fx_eff = apply_f_columns(f, x_eff, fcn_par)

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from flax import struct
 from jax.scipy.linalg import block_diag, cho_factor, cho_solve, solve_triangular
 
+from .utils.linalg import chol_small, pd_solve_small, _solve_tri_small
+
 from .mtran import (
     LinearizationTransform,
     SphericalRadialTransform,
@@ -135,7 +137,7 @@ def _tf_apply(tf, f, mean, cov, time, theta):
 
 def _kalman_update(x_mean_pr, x_cov_pr, y_mean_pr, y_cov_pr, xy_cov, y):
     """Gaussian measurement update (``ssinf.py:297-323``)."""
-    gain = cho_solve(cho_factor(y_cov_pr, lower=True), xy_cov).T
+    gain = pd_solve_small(y_cov_pr, xy_cov).T
     x_mean_fi = x_mean_pr + gain @ (y - y_mean_pr)
     x_cov_fi = x_cov_pr - gain @ y_cov_pr @ gain.T
     return x_mean_fi, x_cov_fi
@@ -143,7 +145,7 @@ def _kalman_update(x_mean_pr, x_cov_pr, y_mean_pr, y_cov_pr, xy_cov, y):
 
 def _smoothing_update(m_fi, P_fi, m_sm_next, P_sm_next, m_pr_next, P_pr_next, xx_cov_next):
     """RTS smoothing update (``ssinf.py:325-344``)."""
-    gain = cho_solve(cho_factor(P_pr_next, lower=True), xx_cov_next).T
+    gain = pd_solve_small(P_pr_next, xx_cov_next).T
     m_sm = m_fi + gain @ (m_sm_next - m_pr_next)
     P_sm = P_fi + gain @ (P_sm_next - P_pr_next) @ gain.T
     return m_sm, P_sm
@@ -306,12 +308,12 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         xy_smat = xy_smat[:, :dim_trim]
 
         # ---- measurement update (ssinf.py:700-736)
-        gain = cho_solve(cho_factor(y_smat_pr, lower=True), xy_smat).T
+        gain = pd_solve_small(y_smat_pr, xy_smat).T
         x_mean_fi = x_mean_pr + gain @ (y - y_mean_pr)
         # NOTE: scale-derived matrix stored as covariance — reference FIXME
         x_cov_fi = x_smat_pr - gain @ y_smat_pr @ gain.T
 
-        delta = solve_triangular(jnp.linalg.cholesky(y_smat_pr), y - y_mean_pr, lower=True)
+        delta = _solve_tri_small(chol_small(y_smat_pr), y - y_mean_pr, lower=True)
         scale_fi = (dof + delta @ delta) / (dof + mod_obs.dim_out)
         x_smat_fi = scale_fi * x_cov_fi
         dof_next = dof_fi + mod_obs.dim_out

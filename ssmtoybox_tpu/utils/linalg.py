@@ -24,6 +24,9 @@ __all__ = [
     "gen_inv",
     "symmetrize",
     "ellipse_points",
+    "chol_small",
+    "cho_solve_small",
+    "pd_solve_small",
 ]
 
 #: Default diagonal jitter used to stabilize Gram-matrix inversions
@@ -109,6 +112,74 @@ def pd_inv(A: jax.Array, jitter: float = 0.0, do_symmetrize: bool = True) -> jax
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
     iA = pd_solve(A, eye, jitter=jitter)
     return symmetrize(iA) if do_symmetrize else iA
+
+
+#: Largest matrix dimension routed through the unrolled kernels below.
+#: Beyond this the emitted-op count (O(D^3)) outgrows the benefit.
+SMALL_DIM_MAX = 9
+
+
+def chol_small(a: jax.Array) -> jax.Array:
+    """Batch-parallel Cholesky for small static dimension, fully unrolled.
+
+    Motivation (measured on TPU v5e, f64, 10k-batch of 5x5): XLA's generic
+    batched ``cholesky`` costs ~45ms per call in emulated f64, while the
+    D(D+1)/2 unrolled Cholesky-Banachiewicz scalar recurrences — each a pure
+    elementwise op over the batch — are ~2 orders of magnitude cheaper.  This
+    is the filters' per-step hot op (SURVEY §7: "per-step Cholesky of small
+    matrices dominates UNGM-scale problems; batch them via vmap").
+
+    Falls back to ``jnp.linalg.cholesky`` above :data:`SMALL_DIM_MAX`.
+    Differentiable and vmappable like any jnp expression.
+    """
+    d = a.shape[-1]
+    if d > SMALL_DIM_MAX:
+        return jnp.linalg.cholesky(a)
+    col = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - col[i][k] * col[j][k]
+            if i == j:
+                col[i][j] = jnp.sqrt(s)
+            else:
+                col[i][j] = s / col[j][j]
+    zero = jnp.zeros_like(a[..., 0, 0])
+    rows = [jnp.stack([col[i][j] if j <= i else zero for j in range(d)], axis=-1)
+            for i in range(d)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _solve_tri_small(L: jax.Array, b: jax.Array, lower: bool) -> jax.Array:
+    """Unrolled triangular substitution; ``b`` is (..., D) or (..., D, K)."""
+    d = L.shape[-1]
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    xs = [None] * d
+    order = range(d) if lower else range(d - 1, -1, -1)
+    for i in order:
+        s = b[..., i, :]
+        ks = range(i) if lower else range(i + 1, d)
+        for k in ks:
+            s = s - L[..., i, k, None] * xs[k]
+        xs[i] = s / L[..., i, i, None]
+    out = jnp.stack(xs, axis=-2)
+    return out[..., 0] if vec else out
+
+
+def cho_solve_small(L: jax.Array, b: jax.Array) -> jax.Array:
+    """``(L L^T)^-1 b`` via unrolled forward+backward substitution."""
+    y = _solve_tri_small(L, b, lower=True)
+    return _solve_tri_small(jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+def pd_solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Small-dim PD solve through the unrolled Cholesky path."""
+    if A.shape[-1] > SMALL_DIM_MAX:
+        return pd_solve(A, b)
+    return cho_solve_small(chol_small(A), b)
 
 
 def pd_logdet(A: jax.Array) -> jax.Array:
