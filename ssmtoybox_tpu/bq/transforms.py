@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..mtran import MomentTransform, apply_f_columns
-from ..utils.linalg import chol_small
+from ..utils.linalg import chol_small, small_matmul, small_mm3
 from .models import (
     BayesSardModel,
     GaussianProcessModel,
@@ -75,7 +75,7 @@ class BQTransform(MomentTransform, struct.PyTreeNode):
     def apply(self, f, mean, cov, fcn_par, kern_par=None):
         wm, Wc, Wcc, model_var, iK = self._weight_bundle(kern_par)
         chol_cov = chol_small(cov)
-        x = mean[:, None] + chol_cov @ self.model.points
+        x = mean[:, None] + small_matmul(chol_cov, self.model.points)
         fx = self._fcn_eval(f, x, fcn_par)
         mean_f = self._mean(wm, fx)
         cov_f = self._covariance(Wc, fx, mean_f, model_var, iK)
@@ -86,16 +86,16 @@ class BQTransform(MomentTransform, struct.PyTreeNode):
         return apply_f_columns(f, x, fcn_par)
 
     def _mean(self, wm, fx):
-        return fx @ wm
+        return small_matmul(fx, wm)
 
     def _covariance(self, Wc, fx, mean_f, model_var, iK):
         """GPQ covariance: quadrature + expected model variance
         (``bqmtran.py:178-201``)."""
         emv = model_var * jnp.eye(self.dim_out, dtype=fx.dtype)
-        return fx @ Wc @ fx.T - jnp.outer(mean_f, mean_f) + emv
+        return small_mm3(fx, Wc, fx.T) - jnp.outer(mean_f, mean_f) + emv
 
     def _cross_covariance(self, Wcc, fx, chol_cov):
-        return fx @ Wcc.T @ chol_cov.T
+        return small_mm3(fx, Wcc.T, chol_cov.T)
 
 
 class GaussianProcessTransform(BQTransform):
@@ -159,7 +159,7 @@ class StudentTProcessTransform(BQTransform):
     def _covariance(self, Wc, fx, mean_f, model_var, iK):
         scale = self.model.tp_scale(iK, fx)                       # (E, E)
         emv = jnp.atleast_2d(scale * model_var) * jnp.eye(self.dim_out, dtype=fx.dtype)
-        return fx @ Wc @ fx.T - jnp.outer(mean_f, mean_f) + emv
+        return small_mm3(fx, Wc, fx.T) - jnp.outer(mean_f, mean_f) + emv
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +197,7 @@ class MultiOutputBQTransform(MomentTransform, struct.PyTreeNode):
             w = self.model.bq_weights(kern_par)
             wm, Wc, Wcc, Q, iK = w.wm, w.Wc, w.Wcc, w.Q, w.iK
         chol_cov = chol_small(cov)
-        x = mean[:, None] + chol_cov @ self.model.points
+        x = mean[:, None] + small_matmul(chol_cov, self.model.points)
         fx = apply_f_columns(f, x, fcn_par)
 
         mean_f = jnp.einsum("en,ne->e", fx, wm)

@@ -30,7 +30,7 @@ import numpy as np
 from flax import struct
 
 from . import points as pts
-from .utils.linalg import chol_small
+from .utils.linalg import chol_small, small_matmul, small_mm3
 
 __all__ = [
     "MomentTransform",
@@ -108,7 +108,7 @@ class MonteCarloTransform(MomentTransform, struct.PyTreeNode):
 
     def apply(self, f, mean, cov, fcn_par):
         L = chol_small(cov)
-        dx_in = L @ self.unit_sp
+        dx_in = small_matmul(L, self.unit_sp)
         x = mean[:, None] + dx_in
         fx = apply_f_columns(f, x, fcn_par)
         mean_f = self.wm * jnp.sum(fx, axis=1)
@@ -132,13 +132,13 @@ class SigmaPointTransform(MomentTransform, struct.PyTreeNode):
 
     def apply(self, f, mean, cov, fcn_par):
         L = chol_small(cov)
-        dx_in = L @ self.unit_sp
+        dx_in = small_matmul(L, self.unit_sp)
         x = mean[:, None] + dx_in
         fx = apply_f_columns(f, x, fcn_par)
-        mean_f = fx @ self.wm
+        mean_f = small_matmul(fx, self.wm)
         dfx = fx - mean_f[:, None]
-        cov_f = dfx @ self.Wc @ dfx.T
-        cov_fx = dfx @ self.Wc @ dx_in.T
+        cov_f = small_mm3(dfx, self.Wc, dfx.T)
+        cov_fx = small_mm3(dfx, self.Wc, dx_in.T)
         return mean_f, cov_f, cov_fx
 
 
@@ -216,18 +216,18 @@ class TruncatedSigmaPointTransform(MomentTransform, struct.PyTreeNode):
         mean_eff = mean[:d_eff]
         cov_eff = cov[:d_eff, :d_eff]
 
-        x_eff = mean_eff[:, None] + chol_small(cov_eff) @ self.unit_sp_eff
-        dx_in = chol_small(cov) @ self.unit_sp
+        x_eff = mean_eff[:, None] + small_matmul(chol_small(cov_eff), self.unit_sp_eff)
+        dx_in = small_matmul(chol_small(cov), self.unit_sp)
         x = mean[:, None] + dx_in
 
         fx_eff = apply_f_columns(f, x_eff, fcn_par)
         fx = apply_f_columns(f, x, fcn_par)
 
-        mean_f = fx_eff @ self.wm
+        mean_f = small_matmul(fx_eff, self.wm)
         dfx_eff = fx_eff - mean_f[:, None]
         dfx = fx - mean_f[:, None]
-        cov_f = dfx_eff @ self.Wc @ dfx_eff.T
-        cov_fx = dfx @ self.Wcc @ dx_in.T
+        cov_f = small_mm3(dfx_eff, self.Wc, dfx_eff.T)
+        cov_fx = small_mm3(dfx, self.Wcc, dx_in.T)
         return mean_f, cov_f, cov_fx
 
 

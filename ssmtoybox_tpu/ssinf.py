@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax.scipy.linalg import block_diag, cho_factor, cho_solve, solve_triangular
 
-from .utils.linalg import chol_small, pd_solve_small, _solve_tri_small
+from .utils.linalg import chol_small, pd_solve_small, _solve_tri_small, small_matmul, small_mm3
 
 from .mtran import (
     LinearizationTransform,
@@ -107,7 +107,7 @@ def _gaussian_time_update(mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, time,
 
     x_mean_pr, x_cov_pr, xx_cov = _tf_apply(tf_dyn, mod_dyn.dyn_eval, mean, cov, time, theta_dyn)
     if mod_dyn.noise_additive:
-        x_cov_pr = x_cov_pr + G @ q_cov @ G.T
+        x_cov_pr = x_cov_pr + small_mm3(G, q_cov, G.T)
 
     # non-additive measurement noise: augment
     if mod_obs.noise_additive:
@@ -138,16 +138,16 @@ def _tf_apply(tf, f, mean, cov, time, theta):
 def _kalman_update(x_mean_pr, x_cov_pr, y_mean_pr, y_cov_pr, xy_cov, y):
     """Gaussian measurement update (``ssinf.py:297-323``)."""
     gain = pd_solve_small(y_cov_pr, xy_cov).T
-    x_mean_fi = x_mean_pr + gain @ (y - y_mean_pr)
-    x_cov_fi = x_cov_pr - gain @ y_cov_pr @ gain.T
+    x_mean_fi = x_mean_pr + small_matmul(gain, y - y_mean_pr)
+    x_cov_fi = x_cov_pr - small_mm3(gain, y_cov_pr, gain.T)
     return x_mean_fi, x_cov_fi
 
 
 def _smoothing_update(m_fi, P_fi, m_sm_next, P_sm_next, m_pr_next, P_pr_next, xx_cov_next):
     """RTS smoothing update (``ssinf.py:325-344``)."""
     gain = pd_solve_small(P_pr_next, xx_cov_next).T
-    m_sm = m_fi + gain @ (m_sm_next - m_pr_next)
-    P_sm = P_fi + gain @ (P_sm_next - P_pr_next) @ gain.T
+    m_sm = m_fi + small_matmul(gain, m_sm_next - m_pr_next)
+    P_sm = P_fi + small_mm3(gain, P_sm_next - P_pr_next, gain.T)
     return m_sm, P_sm
 
 
@@ -309,9 +309,9 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
 
         # ---- measurement update (ssinf.py:700-736)
         gain = pd_solve_small(y_smat_pr, xy_smat).T
-        x_mean_fi = x_mean_pr + gain @ (y - y_mean_pr)
+        x_mean_fi = x_mean_pr + small_matmul(gain, y - y_mean_pr)
         # NOTE: scale-derived matrix stored as covariance — reference FIXME
-        x_cov_fi = x_smat_pr - gain @ y_smat_pr @ gain.T
+        x_cov_fi = x_smat_pr - small_mm3(gain, y_smat_pr, gain.T)
 
         delta = _solve_tri_small(chol_small(y_smat_pr), y - y_mean_pr, lower=True)
         scale_fi = (dof + delta @ delta) / (dof + mod_obs.dim_out)

@@ -27,6 +27,8 @@ __all__ = [
     "chol_small",
     "cho_solve_small",
     "pd_solve_small",
+    "small_matmul",
+    "small_mm3",
 ]
 
 #: Default diagonal jitter used to stabilize Gram-matrix inversions
@@ -180,6 +182,43 @@ def pd_solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
     if A.shape[-1] > SMALL_DIM_MAX:
         return pd_solve(A, b)
     return cho_solve_small(chol_small(A), b)
+
+
+#: Largest contraction dimension unrolled by :func:`small_matmul`.
+UNROLL_MATMUL_MAX = 32
+
+
+def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched ``a @ b`` unrolled over a small contraction dimension.
+
+    Motivation (measured on TPU v5e, f64, 10k-batch): the MXU has no f64
+    path, and XLA's emulated batched ``dot_general`` on tiny operands (e.g.
+    (5, 11) x (11, 5)) costs ~23ms per call, while the same contraction as an
+    unrolled sum of K rank-1 outer products — pure elementwise VPU ops — is
+    ~100x faster.  This is the filters' per-step covariance contraction
+    (``dfx @ Wc @ dfx^T``), the second hot op after the small Cholesky.
+
+    Falls back to ``a @ b`` when the contraction dim exceeds
+    :data:`UNROLL_MATMUL_MAX` (e.g. high-degree Gauss-Hermite point sets),
+    where real matmuls win again.
+    """
+    k_dim = a.shape[-1]
+    if k_dim > UNROLL_MATMUL_MAX:
+        return a @ b
+    if b.ndim == 1:
+        out = a[..., :, 0] * b[0]
+        for k in range(1, k_dim):
+            out = out + a[..., :, k] * b[k]
+        return out
+    out = a[..., :, 0, None] * b[..., 0, :][..., None, :]
+    for k in range(1, k_dim):
+        out = out + a[..., :, k, None] * b[..., k, :][..., None, :]
+    return out
+
+
+def small_mm3(a: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """``a @ w @ b`` through :func:`small_matmul` (both contractions small)."""
+    return small_matmul(small_matmul(a, w), b)
 
 
 def pd_logdet(A: jax.Array) -> jax.Array:

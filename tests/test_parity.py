@@ -84,7 +84,9 @@ def test_ungm_batch_matches_single(goldens):
     res = alg.forward_pass_batch(batch)
     for s in range(y.shape[-1]):
         fm, _ = alg.forward_pass(y[..., s])
-        np.testing.assert_allclose(res.fi_mean[s], fm, rtol=1e-12, atol=1e-12)
+        # batched and unbatched traces fuse differently; agreement is at
+        # accumulated-rounding level, far below the 1e-8 parity budget
+        np.testing.assert_allclose(res.fi_mean[s], fm, rtol=1e-9, atol=1e-9)
 
 
 def test_ungm_nonadditive_parity(goldens):
