@@ -7,6 +7,7 @@ RMSE / NCI / inclination / NLL scores reduce on-device.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,6 +17,7 @@ import jax.numpy as jnp
 import pandas as pd
 
 from ssmtoybox_tpu.utils.linalg import pd_solve, pd_logdet
+from ssmtoybox_tpu.utils.profiling import sync
 
 
 def setup_jax(use_x64: bool = True):
@@ -87,7 +89,7 @@ def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True):
     for name, alg in algs.items():
         t0 = time.time()
         res = alg.forward_pass_batch(ys)
-        jax.block_until_ready(res)
+        sync(res)          # forced completion (block_until_ready can return early)
         t_run = time.time() - t0
         scores = score_fn(jnp.asarray(x), res.fi_mean, res.fi_cov)
         raw[name] = (res, scores)
@@ -101,6 +103,20 @@ def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True):
         if verbose:
             print(f"{name:>12}: done in {t_run:6.3f} s", file=sys.stderr)
     return pd.DataFrame(rows).T, raw
+
+
+def save_results(path: str, **arrays):
+    """Cache study outputs to disk (the reference research scripts use
+    ``joblib.dump``/``scipy.io.savemat`` for the same purpose, SURVEY §5.4)."""
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
+    print(f"results saved to {path}", file=sys.stderr)
+
+
+def load_results(path: str):
+    """Reload cached study outputs (returns a dict of arrays), or None."""
+    if not path or not os.path.exists(path):
+        return None
+    return dict(np.load(path, allow_pickle=False))
 
 
 def print_tables(df: pd.DataFrame, title: str, latex: bool = False):

@@ -103,6 +103,30 @@ class Model(struct.PyTreeNode):
     def neg_log_marginal_likelihood(self, log_par, fcn_obs, x_obs, jitter):  # pragma: no cover
         raise NotImplementedError
 
+    def plot_model(self, test_data, fcn_obs, par=None, fcn_true=None, in_dim=0):
+        """Debug plot of the integrand model's predictive mean/variance
+        (``bqmod.py:287-338``).  Host-side matplotlib; figure is returned
+        (never shown) so the call is headless-CI safe, unlike the reference's
+        blocking ``plt.show()`` (SURVEY §4)."""
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        fcn_obs = np.squeeze(np.asarray(fcn_obs))
+        mean, var = self.predict(test_data, jnp.asarray(fcn_obs))
+        mean = np.asarray(mean)
+        std = np.sqrt(np.asarray(var))
+        xplot = np.squeeze(np.asarray(test_data)[in_dim, :])
+
+        fig, ax = plt.subplots()
+        ax.fill_between(xplot, mean - 2 * std, mean + 2 * std, color="0.1", alpha=0.15)
+        ax.plot(xplot, mean, color="k", lw=2)
+        ax.plot(np.asarray(self.points)[in_dim, :], fcn_obs, "ko", ms=8)
+        if fcn_true is not None:
+            ax.plot(xplot, np.squeeze(np.asarray(fcn_true)), lw=2, ls="--", color="tomato")
+        ax.set_title(f"{type(self).__name__} model of the integrand")
+        return fig
+
     # -- hyper-parameter optimization (``bqmod.py:250-285``) ----------------------
     def optimize(self, log_par_0, fcn_obs, x_obs, method="BFGS", **kwargs):
         """Minimize the NLML over log-parameters with scipy BFGS driving a
@@ -430,6 +454,27 @@ class BayesSardModel(Model):
             return acc + jnp.einsum("bn,bq->nq", kx, p), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((x.shape[1], mi.shape[1]), x.dtype),
+                              jax.random.split(key, num_iter))
+        return acc / (num_iter * batch_size)
+
+    def mc_exp_x_cov(self, key, par=None, mulind=None, num_iter=10, batch_size=100_000):
+        """MC verifier for the BSQ weight-error covariance (``bqmod.py:818-838``)."""
+        par = self.kernel.get_parameters(par)
+        mi = jnp.asarray(self.mulind_np if mulind is None else mulind)
+        x = self.points
+        dim = x.shape[0]
+        V = vandermonde(mi, x).astype(x.dtype)
+        ViK = V.T @ self.kernel.eval_inv_dot(par, x)
+
+        def body(acc, k):
+            xs = jax.random.multivariate_normal(
+                k, jnp.zeros(dim, x.dtype), jnp.eye(dim, dtype=x.dtype), (batch_size,)).T
+            p = vandermonde(mi, xs).astype(x.dtype)                 # (B, Q)
+            kx = self.kernel.eval(par, xs, x)                       # (B, N)
+            b = kx @ ViK.T - p                                      # (B, Q)
+            return acc + jnp.einsum("bq,br->qr", b, b), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((mi.shape[1], mi.shape[1]), x.dtype),
                               jax.random.split(key, num_iter))
         return acc / (num_iter * batch_size)
 

@@ -27,7 +27,9 @@ from .metrics import (
 from .rand import multivariate_normal, multivariate_t, gauss_mixture, bigauss_mixture
 from .rv import GaussRV, StudentRV, GaussianMixtureRV
 from .combin import n_sum_k, total_degree_multi_index, vandermonde, vandermonde_np
+from .metrics import print_table
 from .ode import ode_euler, ode_runge_kutta_4
+from .profiling import trace, timeit, sync
 
 __all__ = [
     "maha", "mat_sqrt", "safe_cholesky", "pd_solve", "pd_inv", "symmetrize", "ellipse_points",
@@ -37,4 +39,5 @@ __all__ = [
     "GaussRV", "StudentRV", "GaussianMixtureRV",
     "n_sum_k", "total_degree_multi_index", "vandermonde", "vandermonde_np",
     "ode_euler", "ode_runge_kutta_4",
+    "print_table", "trace", "timeit", "sync",
 ]

@@ -128,3 +128,16 @@ def inclination(x: jax.Array, m: jax.Array, P: jax.Array, MSE: jax.Array) -> jax
 def nll_mean(x: jax.Array, m: jax.Array, P: jax.Array) -> jax.Array:
     """Time-averaged Gaussian NLL for (D, N) trajectories."""
     return jnp.mean(jax.vmap(neg_log_likelihood, in_axes=(1, 1, 2))(x, m, P))
+
+
+def print_table(data, row_labels=None, col_labels=None, latex=False):
+    """Pretty-print a results table (functional fix of ``utils.py:247-251``,
+    which builds a DataFrame but prints the module instead)."""
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame(np.asarray(data), index=row_labels, columns=col_labels)
+    print(df)
+    if latex:
+        print(df.to_latex())
+    return df

@@ -196,3 +196,60 @@ class TestFilters:
         alg = GaussianInference(dyn, obs, tf, th)
         fm, fP = alg.forward_pass(y)
         assert bool(jnp.isfinite(fm).all())
+
+
+class TestMultiOutputFilters:
+    def test_mo_gpq_kalman_runs(self, ungm):
+        """MO-GPQ Kalman filter (EXPERIMENTAL in reference, ssinf.py:911-961)."""
+        dyn, obs = ungm
+        y = obs.simulate_measurements(
+            jax.random.PRNGKey(1),
+            dyn.simulate_discrete(jax.random.PRNGKey(0), 15, 1))[..., 0]
+        kpar = np.array([[1.0, 3.0]])
+        alg = st.ssinf.MultiOutputGaussianProcessKalman(dyn, obs, kpar, kpar)
+        fm, fP = alg.forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())
+
+    def test_mo_tpq_student_runs(self):
+        dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                    StudentRV.create(1, scale=10.0, dof=4.0))
+        obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
+        y = obs.simulate_measurements(
+            jax.random.PRNGKey(1),
+            dyn.simulate_discrete(jax.random.PRNGKey(0), 10, 1))[..., 0]
+        kpar = np.array([[1.0, 1.0]])
+        # small MC sample count for test speed
+        from ssmtoybox_tpu.bq.transforms import MultiOutputStudentTProcessTransform
+        from ssmtoybox_tpu.ssinf import StudentianInference
+        t_dyn = MultiOutputStudentTProcessTransform.create(
+            1, 1, kpar, "rbf-student", "fs", {"dof": 4.0}, nu=4.0)
+        t_obs = MultiOutputStudentTProcessTransform.create(
+            1, 1, kpar, "rbf-student", "fs", {"dof": 4.0}, nu=4.0)
+        alg = StudentianInference(dyn, obs, t_dyn, t_obs, dof=4.0)
+        fm, fP = alg.forward_pass(y)
+        assert fm.shape == (1, 10)
+
+
+class TestAuxiliary:
+    def test_plot_model_headless(self, ungm):
+        """plot_model returns a figure without blocking (bqmod.py:287-338)."""
+        from ssmtoybox_tpu.bq.models import GaussianProcessModel
+        gp = GaussianProcessModel.create(1, np.array([[1.0, 1.0]]), "rbf", "ut")
+        test_x = jnp.linspace(-3, 3, 30).reshape(1, -1)
+        fcn_obs = jnp.sin(gp.points).reshape(-1)
+        fig = gp.plot_model(test_x, fcn_obs)
+        assert fig is not None
+
+    def test_bsq_mc_cov_verifier(self):
+        from ssmtoybox_tpu.bq.models import BayesSardModel
+        bs = BayesSardModel.create(1, np.array([[1.0, 1.0]]), multi_ind=np.array([[0, 1, 2]]))
+        C = bs.mc_exp_x_cov(jax.random.PRNGKey(0), num_iter=2, batch_size=20_000)
+        assert C.shape == (3, 3)
+        assert bool(jnp.isfinite(C).all())
+
+    def test_profiling_timeit(self, ungm):
+        from ssmtoybox_tpu.utils.profiling import timeit
+        dyn, obs = ungm
+        f = jax.jit(lambda k: dyn.simulate_discrete(k, 10, 4))
+        secs, out = timeit(f, jax.random.PRNGKey(0), repeats=2)
+        assert secs >= 0 and out.shape == (1, 10, 4)
