@@ -29,7 +29,7 @@ from .mtran import (
 from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
-    FullySymmetricStudent, StudentProcessStudent,
+    FullySymmetricStudent, StudentProcessStudent, ExtendedStudent, GPQStudent,
     gaussian_filter, gaussian_smoother, gaussian_filter_batch, studentian_filter,
 )
 
@@ -41,6 +41,6 @@ __all__ = [
     "FullySymmetricStudentTransform", "TaylorGPQDTransform",
     "ExtendedKalman", "CubatureKalman", "UnscentedKalman", "GaussHermiteKalman",
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
-    "FullySymmetricStudent", "StudentProcessStudent",
+    "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
 ]

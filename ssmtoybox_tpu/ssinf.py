@@ -56,7 +56,7 @@ __all__ = [
     "StateSpaceInference", "GaussianInference", "StudentianInference",
     "ExtendedKalman", "CubatureKalman", "UnscentedKalman", "GaussHermiteKalman",
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
-    "FullySymmetricStudent", "StudentProcessStudent",
+    "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
     "TruncatedUnscentedKalman", "TruncatedCubatureKalman", "TruncatedGaussHermiteKalman",
     "MultiOutputGaussianProcessKalman", "MultiOutputStudentProcessStudent",
     "MarginalInference", "MarginalizedGaussianProcessKalman", "ExtendedKalmanGPQD",
@@ -547,6 +547,37 @@ class FullySymmetricStudent(StudentianInference):
         obs_dof = min(dyn_dof, obs.noise_rv.dof)
         t_dyn = FullySymmetricStudentTransform(dyn.dim_in, degree, kappa, dyn_dof)
         t_obs = FullySymmetricStudentTransform(obs.dim_in, degree, kappa, obs_dof)
+        super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
+
+
+class ExtendedStudent(StudentianInference):
+    """EKF-style Student filter via AD linearization (capability parity with
+    the research layer, ``research/tpq/tpq_base.py:35-40``)."""
+
+    def __init__(self, dyn, obs, dof=4.0, fixed_dof=True):
+        tf = LinearizationTransform.create(dyn.dim_in)
+        th = LinearizationTransform.create(obs.dim_in)
+        super().__init__(dyn, obs, tf, th, dof, fixed_dof)
+
+
+class GPQStudent(StudentianInference):
+    """Student filter with GPQ transforms on fully-symmetric points and the
+    Student-weighted RBF kernel (``research/tpq/tpq_base.py:43-91``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, point_hyp=None, dof=4.0,
+                 fixed_dof=True):
+        from .bq.transforms import GaussianProcessTransform
+        q_dof = dyn.noise_rv.dof
+        r_dof = obs.noise_rv.dof
+        point_hyp = dict(point_hyp or {})
+        point_hyp_dyn = dict(point_hyp, dof=q_dof)
+        point_hyp_obs = dict(point_hyp, dof=r_dof)
+        t_dyn = GaussianProcessTransform.create(dyn.dim_in, 1, kern_par_dyn,
+                                                "rbf-student", "fs", point_hyp_dyn,
+                                                dof=q_dof)
+        t_obs = GaussianProcessTransform.create(obs.dim_in, 1, kern_par_obs,
+                                                "rbf-student", "fs", point_hyp_obs,
+                                                dof=r_dof)
         super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
 
 

@@ -253,3 +253,19 @@ class TestAuxiliary:
         f = jax.jit(lambda k: dyn.simulate_discrete(k, 10, 4))
         secs, out = timeit(f, jax.random.PRNGKey(0), repeats=2)
         assert secs >= 0 and out.shape == (1, 10, 4)
+
+
+class TestResearchStudentFilters:
+    def test_extended_student_and_gpq_student_run(self):
+        """Research-layer Student filters (tpq_base.py:35-91)."""
+        dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                    StudentRV.create(1, scale=10.0, dof=4.0))
+        obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
+        y = obs.simulate_measurements(
+            jax.random.PRNGKey(1),
+            dyn.simulate_discrete(jax.random.PRNGKey(0), 15, 1))[..., 0]
+        fm, _ = st.ExtendedStudent(dyn, obs, dof=4.0).forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())
+        kpar = np.array([[1.0, 1.0]])
+        fm, _ = st.GPQStudent(dyn, obs, kpar, kpar, dof=4.0).forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())
