@@ -19,6 +19,7 @@ from . import ssinf
 from . import bq
 from . import ops
 from . import parallel
+from . import online
 
 from .utils import GaussRV, StudentRV, GaussianMixtureRV
 from .mtran import (
@@ -34,7 +35,7 @@ from .ssinf import (
 )
 
 __all__ = [
-    "utils", "points", "mtran", "ssmod", "ssinf", "bq",
+    "utils", "points", "mtran", "ssmod", "ssinf", "bq", "ops", "parallel", "online",
     "GaussRV", "StudentRV", "GaussianMixtureRV",
     "LinearizationTransform", "MonteCarloTransform", "SigmaPointTransform",
     "SphericalRadialTransform", "UnscentedTransform", "GaussHermiteTransform",

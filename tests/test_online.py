@@ -1,0 +1,90 @@
+"""Streaming filter API + checkpoint/resume tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu.online import make_online_filter
+from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
+from ssmtoybox_tpu.utils import GaussRV
+from ssmtoybox_tpu.utils.checkpoint import save_pytree, restore_pytree
+
+
+def _setup():
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1), dim_state=1)
+    ukf = st.UnscentedKalman(dyn, obs)
+    return dyn, obs, ukf
+
+
+def test_online_matches_batch_forward():
+    """Streaming per-measurement updates equal the scan-based forward pass."""
+    dyn, obs, ukf = _setup()
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=25, mc_sims=1)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)[..., 0]
+    fm, fP = ukf.forward_pass(y)
+
+    init, step = make_online_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs, donate=False)
+    state = init()
+    means = []
+    for k in range(y.shape[1]):
+        state, info = step(state, y[:, k])
+        means.append(np.asarray(state.mean))
+    np.testing.assert_allclose(np.stack(means, axis=-1), np.asarray(fm),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_online_dropout_keeps_prediction():
+    dyn, obs, ukf = _setup()
+    init, step = make_online_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs, donate=False)
+    state = init()
+    s1, _ = step(state, jnp.asarray([2.0]), observed=False)
+    # with no measurement, the update must equal the pure prediction
+    from ssmtoybox_tpu.ssinf import _gaussian_time_update
+    m_pr, P_pr, *_ = _gaussian_time_update(dyn, obs, ukf.tf_dyn, ukf.tf_obs,
+                                           state.mean, state.cov, 0)
+    np.testing.assert_allclose(s1.mean, m_pr, rtol=1e-12)
+    np.testing.assert_allclose(s1.cov, P_pr, rtol=1e-12)
+
+
+def test_online_batched_multi_target():
+    dyn, obs, ukf = _setup()
+    init, step = make_online_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs,
+                                    batch=True, donate=False)
+    state = init(batch_size=6)
+    ys = jnp.asarray(np.random.RandomState(0).randn(6, 1))
+    state, info = step(state, ys)
+    assert state.mean.shape == (6, 1)
+    assert info.innov.shape == (6, 1)
+    assert bool(jnp.isfinite(state.mean).all())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    dyn, obs, ukf = _setup()
+    init, step = make_online_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs, donate=False)
+    state = init()
+    state, _ = step(state, jnp.asarray([1.0]))
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, state)
+    restored = restore_pytree(path, like=state)
+    np.testing.assert_allclose(restored.mean, state.mean)
+    np.testing.assert_allclose(restored.cov, state.cov)
+    # resume: both continue identically
+    s_a, _ = step(state, jnp.asarray([0.5]))
+    s_b, _ = step(restored, jnp.asarray([0.5]))
+    np.testing.assert_allclose(s_a.mean, s_b.mean, rtol=1e-12)
+
+
+def test_online_donation_does_not_eat_model_buffers():
+    """Regression: init() must copy the prior — donation previously deleted
+    the model's own arrays after the first step."""
+    dyn, obs, ukf = _setup()
+    init, step = make_online_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs)  # donate=True
+    state = init()
+    state, _ = step(state, jnp.asarray([1.0]))
+    state, _ = step(state, jnp.asarray([0.2]))
+    # the model prior is still usable: a fresh stream can start
+    state2 = init()
+    state2, _ = step(state2, jnp.asarray([1.0]))
+    assert bool(jnp.isfinite(state2.mean).all())
+    np.testing.assert_allclose(np.asarray(dyn.init_rv.mean), 0.0)

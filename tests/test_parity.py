@@ -20,7 +20,7 @@ from ssmtoybox_tpu.ssmod import (
     UNGMTransition, UNGMNATransition, UNGMMeasurement, UNGMNAMeasurement,
     Pendulum2DTransition, Pendulum2DMeasurement, ConstantVelocity,
     Radar2DMeasurement, CoordinatedTurnTransition, BearingMeasurement,
-    ReentryVehicle2DTransition)
+    ReentryVehicle2DTransition, ConstantTurnRateSpeed)
 from ssmtoybox_tpu.utils import GaussRV, StudentRV
 from ssmtoybox_tpu.utils import metrics as M
 
@@ -161,6 +161,20 @@ def test_coordinated_turn_parity(goldens):
     fm, fP = alg.forward_pass(g["y"][..., 0])
     assert_close(fm, g["ckf_fm"], "CT bearing CKF mean", atol=1e-7, rtol=1e-7)
     assert_close(fP, g["ckf_fP"], "CT bearing CKF cov", atol=1e-7, rtol=1e-7)
+
+
+def test_ctrs_radar_parity(goldens):
+    """Non-additive 5-state CTRS dynamics + radar (dim_in = 7 UT)."""
+    g = goldens["ctrs_radar"]
+    dyn = ConstantTurnRateSpeed.create(
+        GaussRV.create(5, mean=np.array([10., 0., 5., 0.5, 0.1]), cov=0.1 * np.eye(5)),
+        GaussRV.create(2, cov=np.diag([0.1, 0.1 * np.pi])), dt=0.05)
+    obs = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([0.3, 0.03])),
+                                    dim_state=5, state_index=[0, 1])
+    alg = st.UnscentedKalman(dyn, obs)
+    fm, fP = alg.forward_pass(g["y"][..., 0])
+    assert_close(fm, g["ukf_fm"], "CTRS UKF mean", atol=1e-7, rtol=1e-7)
+    assert_close(fP, g["ukf_fP"], "CTRS UKF cov", atol=1e-7, rtol=1e-7)
 
 
 def test_reentry_parity(goldens):

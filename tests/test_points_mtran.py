@@ -123,3 +123,35 @@ def test_transforms_jit_and_vmap():
     out = run(means, covs)
     assert out.shape == (16, 2)
     np.testing.assert_allclose(out[0], tf.apply(f, means[0], covs[0], None)[0], rtol=1e-12)
+
+
+def test_contraction_path_consistency():
+    """small_matmul vs @ vs einsum agree to f64 round-off.
+
+    Mirrors the reference's dot-vs-einsum consistency study
+    (``tests/test_mult_dot_einsum.py``), which documented discrepancies that
+    plagued its multi-output models; here all three paths must agree.
+    """
+    from ssmtoybox_tpu.utils.linalg import small_matmul, small_mm3
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(7, 5, 11))
+    W = jnp.asarray(rng.randn(11, 11))
+    b = jnp.asarray(rng.randn(7, 11, 5))
+    ref = a @ W @ b
+    np.testing.assert_allclose(small_mm3(a, W, b), ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(jnp.einsum("mik,kl,mlj->mij", a, W, b), ref,
+                               rtol=1e-12, atol=1e-12)
+    # vector right-hand side
+    v = jnp.asarray(rng.randn(11))
+    np.testing.assert_allclose(small_matmul(a, v), a @ v, rtol=1e-12, atol=1e-12)
+
+
+def test_chol_small_grad():
+    """Unrolled Cholesky is differentiable (needed by NLML training paths)."""
+    from ssmtoybox_tpu.utils.linalg import chol_small
+    A = jnp.asarray(np.array([[2.0, 0.5], [0.5, 1.5]]))
+    f = lambda A: jnp.sum(chol_small(A))
+    g = jax.grad(f)(A)
+    eps = 1e-6
+    fd = (f(A + eps * jnp.eye(2)) - f(A - eps * jnp.eye(2))) / (2 * eps)
+    np.testing.assert_allclose(jnp.trace(g), fd, rtol=1e-5)

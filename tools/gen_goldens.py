@@ -212,6 +212,22 @@ def main():
     print("ct_bearing.npz done")
 
     # =====================================================================
+    # Scenario E2: constant-turn-rate-and-speed (non-additive 5D) + radar
+    # =====================================================================
+    np.random.seed(23)
+    dyn_ctrs = ConstantTurnRateSpeed(
+        GaussRV(5, mean=np.array([10., 0., 5., 0.5, 0.1]), cov=0.1 * np.eye(5)),
+        GaussRV(2, cov=np.diag([0.1, 0.1 * np.pi])), dt=0.05)
+    obs_ctrs = Radar2DMeasurement(GaussRV(2, cov=np.diag([0.3, 0.03])), 5,
+                                  state_index=[0, 1])
+    x = dyn_ctrs.simulate_discrete(40, mc_sims=1)
+    y = obs_ctrs.simulate_measurements(x)
+    ukf = UnscentedKalman(dyn_ctrs, obs_ctrs)
+    fm, fP = run_filter(ukf, y[..., 0])
+    np.savez(os.path.join(OUT, "ctrs_radar.npz"), x=x, y=y, ukf_fm=fm, ukf_fP=fP)
+    print("ctrs_radar.npz done")
+
+    # =====================================================================
     # Scenario F: reentry vehicle 2D + radar
     # =====================================================================
     np.random.seed(17)
