@@ -115,6 +115,10 @@ def symmetric_set(dim: int, gen) -> np.ndarray:
     nzeros = np.zeros((dim, 1))
     if len(gen) == 0:
         return nzeros
+    from . import native
+    fast = native.symmetric_set(dim, gen) if native.available() else None
+    if fast is not None:
+        return fast
     gen = np.asarray(gen, dtype=float)
     eps = np.spacing(1.0)
     cols = []

@@ -25,7 +25,7 @@ from .metrics import (
     nll_mean,
 )
 from .rand import multivariate_normal, multivariate_t, gauss_mixture, bigauss_mixture
-from .rv import GaussRV, StudentRV, GaussianMixtureRV
+from .rv import RandomVariable, GaussRV, StudentRV, GaussianMixtureRV
 from .combin import n_sum_k, total_degree_multi_index, vandermonde, vandermonde_np
 from .metrics import print_table
 from .ode import ode_euler, ode_runge_kutta_4
@@ -36,7 +36,7 @@ __all__ = [
     "squared_error", "mse_matrix", "log_cred_ratio", "neg_log_likelihood", "kl_divergence",
     "symmetrized_kl_divergence", "bootstrap_var", "rmse", "nci", "inclination", "nll_mean",
     "multivariate_normal", "multivariate_t", "gauss_mixture", "bigauss_mixture",
-    "GaussRV", "StudentRV", "GaussianMixtureRV",
+    "RandomVariable", "GaussRV", "StudentRV", "GaussianMixtureRV",
     "n_sum_k", "total_degree_multi_index", "vandermonde", "vandermonde_np",
     "ode_euler", "ode_runge_kutta_4",
     "print_table", "trace", "timeit", "sync",

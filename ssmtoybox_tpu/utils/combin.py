@@ -24,6 +24,10 @@ def n_sum_k(n: int, k: int) -> np.ndarray:
     Vandermonde matrix.
     """
     assert k >= 0
+    from .. import native
+    fast = native.n_sum_k(n, k) if native.available() else None
+    if fast is not None:
+        return fast
     if k == 0:
         return np.zeros((n, 1), dtype=np.int64)
     if k == 1:

@@ -19,7 +19,7 @@ from flax import struct
 
 from . import rand
 
-__all__ = ["GaussRV", "StudentRV", "GaussianMixtureRV"]
+__all__ = ["RandomVariable", "GaussRV", "StudentRV", "GaussianMixtureRV"]
 
 
 def _as_tuple(size) -> Tuple[int, ...]:
@@ -28,7 +28,18 @@ def _as_tuple(size) -> Tuple[int, ...]:
     return tuple(size)
 
 
-class GaussRV(struct.PyTreeNode):
+class RandomVariable:
+    """Interface marker for random variables (cf. ``utils.py:569-577``):
+    implementers provide ``sample(key, size)`` and ``get_stats()``."""
+
+    def sample(self, key, size):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def get_stats(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class GaussRV(RandomVariable, struct.PyTreeNode):
     """Gaussian random variable (cf. ``utils.py:580-622``)."""
 
     mean: jax.Array
@@ -53,7 +64,7 @@ class GaussRV(struct.PyTreeNode):
         return self.mean, self.cov
 
 
-class StudentRV(struct.PyTreeNode):
+class StudentRV(RandomVariable, struct.PyTreeNode):
     """Student-t random variable (cf. ``utils.py:625-674``).
 
     ``get_stats()`` returns ``(mean, scale, dof)`` — note the reference returns
@@ -86,7 +97,7 @@ class StudentRV(struct.PyTreeNode):
         return self.mean, self.scale, self.dof
 
 
-class GaussianMixtureRV(struct.PyTreeNode):
+class GaussianMixtureRV(RandomVariable, struct.PyTreeNode):
     """Two-or-more component Gaussian mixture RV.
 
     Capability parity with ``research/tpq/tpq_base.py`` (``GaussianMixtureRV``),

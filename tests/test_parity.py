@@ -231,6 +231,18 @@ def test_kernel_expectation_parity(goldens):
     assert_close(jnp.atleast_1d(kern.exp_xy_kxy(par)), g["kern_kxy"], "kxy")
 
 
+def test_rq_kernel_parity(goldens):
+    from ssmtoybox_tpu.bq.kernels import RQ
+    g = goldens["transforms"]
+    x, par = g["kern_x"], g["rq_par"]
+    rq = RQ.create(2, par)
+    assert_close(rq.eval(par, x), g["rq_K"], "RQ K")
+    assert_close(rq.exp_x_kx(par, x), g["rq_q"], "RQ q")
+    assert_close(rq.exp_x_kxkx(par, par, x), g["rq_Q"], "RQ Q")
+    assert_close(rq.exp_x_xkx(par, x), g["rq_R"], "RQ R")
+    assert_close(jnp.atleast_1d(rq.exp_xy_kxy(par)), g["rq_kxy"], "RQ kxy")
+
+
 @pytest.mark.parametrize("point_str", ["ut", "sr", "gh"])
 def test_gp_weights_parity(goldens, point_str):
     g = goldens["transforms"]

@@ -73,7 +73,7 @@ from ssmtoybox.mtran import (  # noqa: E402
     UnscentedTransform, SphericalRadialTransform, GaussHermiteTransform,
     FullySymmetricStudentTransform,
 )
-from ssmtoybox.bq.bqkern import RBFGauss  # noqa: E402
+from ssmtoybox.bq.bqkern import RBFGauss, RQ  # noqa: E402
 from ssmtoybox.bq.bqmod import GaussianProcessModel, BayesSardModel, StudentTProcessModel  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
@@ -292,6 +292,15 @@ def main():
     data["kern_Q"] = kern.exp_x_kxkx(par2, par2, x2)
     data["kern_R"] = kern.exp_x_xkx(par2, x2)
     data["kern_kxy"] = np.atleast_1d(kern.exp_xy_kxy(par2))
+    # RQ kernel expectations (approximate Student-weighted closed forms)
+    par_rq = np.array([[1.2, 3.0, 0.8, 1.1]])
+    rq = RQ(2, par_rq)
+    data["rq_par"] = par_rq
+    data["rq_K"] = rq.eval(par_rq, x2)
+    data["rq_q"] = rq.exp_x_kx(par_rq, x2)
+    data["rq_Q"] = rq.exp_x_kxkx(par_rq, par_rq, x2)
+    data["rq_R"] = rq.exp_x_xkx(par_rq, x2)
+    data["rq_kxy"] = np.atleast_1d(rq.exp_xy_kxy(par_rq))
     # GP/TP/BSQ weights for several point sets, dim 2
     for pts in ["ut", "sr", "gh"]:
         gp = GaussianProcessModel(2, par2, "rbf", pts, None, False)
