@@ -28,6 +28,8 @@ Behaviour-parity notes (deliberate quirks kept from the reference):
 """
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, Optional
 
 import jax
@@ -783,6 +785,113 @@ class MarginalInference(GaussianInference):
 
     def backward_pass(self, rts_full=False):
         raise NotImplementedError("MarginalInference does not define a smoother")
+
+
+    # -- fully-compiled variant ------------------------------------------------
+    def forward_pass_compiled(self, data, newton_iters: int = 15, damping: float = 1e-3):
+        """Whole marginalized filter as one ``lax.scan`` (TPU-native variant).
+
+        The reference's per-step scipy BFGS (``ssinf.py:1272``) is replaced by
+        a fixed number of damped-Newton iterations on the negative
+        log-posterior, with the exact AD Hessian supplying the Laplace
+        covariance — so the entire time loop compiles, batches under ``vmap``
+        and runs on-device.  (The BFGS path above remains the
+        reference-faithful option; its ``hess_inv`` is a quasi-Newton
+        *estimate*, so the two variants agree approximately, not bitwise.)
+        """
+        data = jnp.asarray(data)
+        self._result = self._jit_marginal(
+            self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
+            self.param_prior_mean, self.param_prior_cov, newton_iters, damping)
+        self.fi_mean, self.fi_cov = self._result
+        self.set_flag("filtered", True)
+        return self.fi_mean, self.fi_cov
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("newton_iters",))
+    def _jit_marginal(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
+                      par_mean0, par_cov0, newton_iters, damping):
+        from . import points as pts_mod
+        from .utils.linalg import gen_solve, pd_logdet, symmetrize
+
+        param_dim = par_mean0.shape[0]
+        dyn_dim = mod_dyn.dim_in + 1
+        upts = jnp.asarray(pts_mod.sr_points(param_dim), data.dtype)
+        wts = jnp.asarray(pts_mod.sr_weights(param_dim), data.dtype)
+        eye_p = jnp.eye(param_dim, dtype=data.dtype)
+
+        def predict_meas(theta, m, P, k):
+            theta_dyn = jnp.exp(theta[:dyn_dim])
+            theta_obs = jnp.exp(theta[dyn_dim:])
+            return _gaussian_time_update(mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k,
+                                         theta_dyn, theta_obs)
+
+        def neg_log_post(theta, y, m, P, k, pm, pc):
+            _, _, _, y_pr, S, _ = predict_meas(theta, m, P, k)
+            dy = y - y_pr
+            loglik = -0.5 * (pd_logdet(S) + dy @ pd_solve_small(S, dy))
+            dth = theta - pm
+            logprior = -0.5 * dth @ pd_solve_small(pc, dth)
+            return -(loglik + logprior)
+
+        def step(carry, inp):
+            m, P, pm, pc = carry
+            y, k = inp
+
+            # Safeguarded damped-Newton Laplace approximation: a step is
+            # accepted only if it keeps the objective finite and non-
+            # increasing; otherwise a short gradient step is tried, and the
+            # incumbent kept as a last resort.  Log-params are boxed to
+            # [-6, 6] so exp() cannot overflow the kernel expectations.
+            def newton(i, carry):
+                theta, f_cur = carry
+                g = jax.grad(neg_log_post)(theta, y, m, P, k - 1, pm, pc)
+                H = jax.hessian(neg_log_post)(theta, y, m, P, k - 1, pm, pc)
+                delta = gen_solve(H + damping * eye_p, g)
+                nrm = jnp.linalg.norm(delta)
+                delta = delta * jnp.minimum(1.0, 3.0 / (nrm + 1e-12))
+
+                cand = jnp.clip(theta - delta, -6.0, 6.0)
+                f_cand = neg_log_post(cand, y, m, P, k - 1, pm, pc)
+                ok = jnp.isfinite(f_cand) & (f_cand <= f_cur)
+
+                grad_step = jnp.clip(theta - 0.1 * g / (jnp.linalg.norm(g) + 1e-12),
+                                     -6.0, 6.0)
+                f_grad = neg_log_post(grad_step, y, m, P, k - 1, pm, pc)
+                ok_grad = jnp.isfinite(f_grad) & (f_grad <= f_cur)
+
+                theta_new = jnp.where(ok, cand, jnp.where(ok_grad, grad_step, theta))
+                f_new = jnp.where(ok, f_cand, jnp.where(ok_grad, f_grad, f_cur))
+                return theta_new, f_new
+
+            f0 = neg_log_post(pm, y, m, P, k - 1, pm, pc)
+            theta_star, _ = jax.lax.fori_loop(0, newton_iters, newton, (pm, f0))
+            H = jax.hessian(neg_log_post)(theta_star, y, m, P, k - 1, pm, pc)
+            pc_cand = symmetrize(gen_solve(H + damping * eye_p, eye_p)) + 1e-8 * eye_p
+            # an indefinite Hessian (saddle) yields a non-PD candidate:
+            # keep the previous posterior covariance in that case
+            L_cand = chol_small(pc_cand)
+            pd_ok = jnp.all(jnp.isfinite(L_cand))
+            pc_new = jnp.where(pd_ok, pc_cand, pc)
+            L_pc = jnp.where(pd_ok, L_cand, chol_small(pc))
+
+            # SR quadrature over parameter space; Gaussian-mixture collapse
+            theta_pts = theta_star[:, None] + L_pc @ upts
+
+            def one(theta):
+                m_pr, P_pr, _, y_pr, S, xy = predict_meas(theta, m, P, k - 1)
+                return _kalman_update(m_pr, P_pr, y_pr, S, xy, y)
+
+            means, covs = jax.vmap(one, in_axes=1)(theta_pts)
+            m_new = jnp.einsum("pi,p->i", means, wts)
+            P_new = jnp.einsum("pij,p->ij", covs, wts)
+            return (m_new, P_new, theta_star, pc_new), (m_new, P_new)
+
+        m0, P0 = mod_dyn.init_rv.get_stats()[:2]
+        ks = jnp.arange(1, data.shape[-1] + 1)
+        _, (fi_m, fi_P) = jax.lax.scan(step, (m0, P0, par_mean0, par_cov0),
+                                       (data.T, ks))
+        return jnp.moveaxis(fi_m, 0, -1), jnp.moveaxis(fi_P, 0, -1)
 
 
 class MarginalizedGaussianProcessKalman(MarginalInference):

@@ -269,3 +269,32 @@ class TestResearchStudentFilters:
         kpar = np.array([[1.0, 1.0]])
         fm, _ = st.GPQStudent(dyn, obs, kpar, kpar, dof=4.0).forward_pass(y)
         assert bool(jnp.isfinite(fm).all())
+
+
+class TestCompiledMarginal:
+    def test_compiled_marginal_matches_bfgs_early_steps(self, ungm):
+        """The scan-Newton marginal filter tracks the scipy-BFGS path on the
+        first steps (both approximate the same Laplace posterior; they drift
+        apart later because BFGS's hess_inv is an estimate)."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(6), steps=6, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(7), x)[..., 0]
+        alg = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs)
+        fm_ref, _ = alg.forward_pass(y)
+        alg.reset()
+        fm_c, fP_c = alg.forward_pass_compiled(y)
+        np.testing.assert_allclose(fm_c[:, :2], fm_ref[:, :2], rtol=0.05, atol=0.05)
+        assert bool(jnp.isfinite(fm_c).all()) and bool(jnp.isfinite(fP_c).all())
+
+    def test_compiled_marginal_vmaps(self, ungm):
+        """The compiled variant batches over trajectories."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(8), steps=5, mc_sims=3)
+        y = obs.simulate_measurements(jax.random.PRNGKey(9), x)
+        alg = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs)
+        run = jax.vmap(lambda yy: st.ssinf.MarginalInference._jit_marginal(
+            dyn, obs, alg.tf_dyn, alg.tf_obs, yy,
+            alg.param_prior_mean, alg.param_prior_cov, 10, 1e-3))
+        fm, fP = run(jnp.moveaxis(jnp.asarray(y), -1, 0))
+        assert fm.shape == (3, 1, 5)
+        assert bool(jnp.isfinite(fm).all())
