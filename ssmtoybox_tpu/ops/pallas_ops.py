@@ -86,7 +86,7 @@ def _student_exp_kernel(inv_l_ref, xs_ref, xp_ref, q_ref, r_ref, Q_ref):
 
 
 def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
-                         key=None, chunk: int = 8192,
+                         key=None, chunk: int = 4096,
                          interpret: bool | None = None) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused MC estimates of (q, R, Q) for the RBF-Student kernel.
 
@@ -101,6 +101,10 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
         computed unscaled, matching ``bq_weights``' ``scaling=False`` use).
     x : (D, N) sigma-points.
     dof : Student-t degrees of freedom of the weighting density.
+    chunk : samples per grid step; the (chunk, 128)-padded Gram tile must fit
+        the ~16 MB VMEM budget alongside the double-buffered sample stream,
+        which bounds chunk at ~8k for small point counts (4096 is also the
+        fastest setting measured on v5e).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
