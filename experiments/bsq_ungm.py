@@ -74,9 +74,12 @@ def main():
     for name, (res, _) in raw.items():
         sm, sP = smooth(res)
         scores = study_scores(jnp.asarray(x), sm, sP)
-        rows[name] = {k: float(jnp.mean(v)) for k, v in scores.items()}
+        finite = np.isfinite(np.asarray(scores["rmse"]))
+        rows[name] = {k: float(np.mean(np.asarray(v)[finite])) if finite.any() else float("nan")
+                      for k, v in scores.items()}
+        rows[name]["diverged"] = int((~finite).sum())
     import pandas as pd
-    print_tables(pd.DataFrame(rows).T[["rmse", "nci", "nll"]],
+    print_tables(pd.DataFrame(rows).T[["rmse", "nci", "nll", "diverged"]],
                  "UNGM smoothed", args.latex)
 
 

@@ -95,9 +95,17 @@ def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True):
         raw[name] = (res, scores)
         m = ys.shape[0]
         row = {}
+        # divergence-aware aggregation: filters can lose positive definiteness
+        # on individual trajectories (the reference crashes outright there,
+        # e.g. its BSQ smoke tests skip known-hard cases, test_ssinf.py:99);
+        # diverged runs are excluded and counted instead of poisoning means
+        finite = np.isfinite(np.asarray(scores["rmse"]))
+        n_ok = max(int(finite.sum()), 1)
         for k, v in scores.items():
-            row[k] = float(jnp.mean(v))
-            row[k + "_2std"] = float(2 * jnp.std(v) / np.sqrt(m))
+            vv = np.asarray(v)[finite]
+            row[k] = float(np.mean(vv)) if len(vv) else float("nan")
+            row[k + "_2std"] = float(2 * np.std(vv) / np.sqrt(n_ok)) if len(vv) else float("nan")
+        row["diverged"] = int(m - finite.sum())
         row["wallclock_s"] = t_run
         rows[name] = row
         if verbose:
