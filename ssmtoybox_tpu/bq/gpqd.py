@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..mtran import MomentTransform
 from ..utils.linalg import pd_solve, symmetrize
 from .kernels import RBFGauss, _unpack_rbf
 from .models import BQWeights, GaussianProcessModel

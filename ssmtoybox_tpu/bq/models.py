@@ -18,13 +18,18 @@ from ``jax.grad`` (replacing the hand-coded ``der_par`` chain,
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from math import factorial
+from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
-from math import factorial
+
+from ..points import get_points
+from ..utils.combin import vandermonde
+from ..utils.linalg import gen_solve, pd_solve, symmetrize
+from .kernels import Kernel, get_kernel
 
 
 def _dfact(n: int) -> int:
@@ -42,10 +47,6 @@ def _dfact(n: int) -> int:
         n -= 2
     return out
 
-from ..points import get_points
-from ..utils.combin import vandermonde
-from ..utils.linalg import gen_solve, pd_solve, symmetrize
-from .kernels import Kernel, get_kernel
 
 __all__ = [
     "Model", "GaussianProcessModel", "BayesSardModel", "StudentTProcessModel",

@@ -10,7 +10,7 @@ independent parameter sets when fitting several models at once.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

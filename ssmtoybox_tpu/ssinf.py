@@ -30,12 +30,10 @@ from __future__ import annotations
 
 import functools
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct
-from jax.scipy.linalg import block_diag, cho_factor, cho_solve, solve_triangular
+from jax.scipy.linalg import block_diag, cho_factor, cho_solve
 
 from .utils.linalg import chol_small, pd_solve_small, _solve_tri_small, small_matmul, small_mm3
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .linalg import mat_sqrt, pd_logdet, pd_solve
+from .linalg import pd_logdet, pd_solve
 
 __all__ = [
     "squared_error",
