@@ -59,7 +59,8 @@ def main():
         if nu == 3.0:
             algs["FSQ"] = st.FullySymmetricStudent(dyn_s, obs_s, degree=3, dof=4.0)
         algs[f"TPQSF-{int(nu)}"] = st.StudentProcessStudent(
-            dyn_s, obs_s, kpar, kpar, dof=4.0, dof_tp=nu, compat_drop_nu=False)
+            dyn_s, obs_s, kpar, kpar, dof=4.0, dof_tp=nu, compat_drop_nu=False,
+            mc_opts={"num_samples": args.tpq_samples})
 
     df, _ = run_filter_bank(algs, np.asarray(y), np.asarray(x))
     print_tables(df[["rmse", "rmse_2std", "inc", "inc_2std", "wallclock_s"]],

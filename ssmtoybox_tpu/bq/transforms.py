@@ -142,8 +142,8 @@ class StudentTProcessTransform(BQTransform):
     @classmethod
     def create(cls, dim_in, dim_out, kern_par, kern_str="rbf", point_str="ut",
                point_par=None, estimate_par=False, nu=3.0, dtype=None,
-               compat_drop_nu=True):
-        kern_kwargs = {}
+               compat_drop_nu=True, mc_opts=None):
+        kern_kwargs = dict(mc_opts or {})
         if kern_str == "rbf-student":
             # Student kernel expectations need the input density's dof, carried
             # in the point parameters (cf. ``ssinf.py:817-833``).

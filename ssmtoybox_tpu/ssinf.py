@@ -585,7 +585,7 @@ class StudentProcessStudent(StudentianInference):
     """TPQSF: t-process quadrature Student filter (``ssinf.py:778-833``)."""
 
     def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, point_par=None, dof=4.0,
-                 fixed_dof=True, dof_tp=4.0, compat_drop_nu=True):
+                 fixed_dof=True, dof_tp=4.0, compat_drop_nu=True, mc_opts=None):
         from .bq.transforms import StudentTProcessTransform
         q_dof, r_dof = dyn.noise_rv.dof, obs.noise_rv.dof
         point_par = dict(point_par or {})
@@ -593,12 +593,14 @@ class StudentProcessStudent(StudentianInference):
         point_par_obs = dict(point_par, dof=r_dof)
         # compat_drop_nu=True reproduces the reference, where dof_tp never
         # reaches the TP model (bqmtran.py:271-272); set False to honour it.
+        # mc_opts (num_samples/num_batches/seed) tunes the Student-kernel
+        # Monte-Carlo expectation sweep.
         t_dyn = StudentTProcessTransform.create(dyn.dim_in, 1, kern_par_dyn, "rbf-student",
                                                 "fs", point_par_dyn, nu=dof_tp,
-                                                compat_drop_nu=compat_drop_nu)
+                                                compat_drop_nu=compat_drop_nu, mc_opts=mc_opts)
         t_obs = StudentTProcessTransform.create(obs.dim_in, 1, kern_par_obs, "rbf-student",
                                                 "fs", point_par_obs, nu=dof_tp,
-                                                compat_drop_nu=compat_drop_nu)
+                                                compat_drop_nu=compat_drop_nu, mc_opts=mc_opts)
         super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
 
 
