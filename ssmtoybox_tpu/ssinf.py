@@ -406,6 +406,18 @@ def _jit_gaussian_smoother_full(result):
     return gaussian_smoother(result, rts_full=True)
 
 
+@functools.partial(jax.jit, static_argnames=("dof", "fixed_dof"))
+def _jit_studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data, dof, fixed_dof):
+    return studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data, dof, fixed_dof)
+
+
+@functools.partial(jax.jit, static_argnames=("dof", "fixed_dof"))
+def _jit_studentian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, dof, fixed_dof):
+    return jax.vmap(
+        lambda y: studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, y, dof, fixed_dof)
+    )(data_batch)
+
+
 class GaussianInference(StateSpaceInference):
     """Gaussian filter/smoother wrapper (``ssinf.py:215-344``)."""
 
@@ -438,15 +450,13 @@ class StudentianInference(StateSpaceInference):
         self.fixed_dof = bool(fixed_dof)
 
     def _run_forward(self, data):
-        fn = jax.jit(studentian_filter, static_argnames=("dof", "fixed_dof"))
-        return fn(self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
-                  dof=self.dof, fixed_dof=self.fixed_dof)
+        return _jit_studentian_filter(self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs,
+                                      data, self.dof, self.fixed_dof)
 
     def forward_pass_batch(self, data_batch):
-        fn = jax.jit(
-            lambda md, mo, td, to, ys: jax.vmap(
-                lambda y: studentian_filter(md, mo, td, to, y, self.dof, self.fixed_dof))(ys))
-        return fn(self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, jnp.asarray(data_batch))
+        return _jit_studentian_filter_batch(self.mod_dyn, self.mod_obs, self.tf_dyn,
+                                            self.tf_obs, jnp.asarray(data_batch),
+                                            self.dof, self.fixed_dof)
 
     def _run_backward(self, result, rts_full):
         raise NotImplementedError("Student smoother is not implemented (parity with ssinf.py:738-740)")
