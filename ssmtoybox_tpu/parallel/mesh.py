@@ -19,6 +19,7 @@ reductions (psum/pmean over the ``dp`` axis), which ride ICI.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import numpy as np
@@ -52,6 +53,21 @@ def shard_mc(data_batch: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(data_batch, NamedSharding(mesh, spec))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_filter_fn(mesh: Mesh):
+    """One jitted sharded-filter program per mesh (cached, so repeated study
+    calls reuse the compilation)."""
+
+    @jax.jit
+    def run(md, mo, td, to, ys):
+        out = jax.vmap(lambda y: gaussian_filter(md, mo, td, to, y))(ys)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))), out)
+
+    return run
+
+
 def filter_mc_sharded(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, mesh: Mesh) -> FilterResult:
     """Forward-filter an (M, dim_y, N) batch with trajectories sharded over
     the mesh's ``dp`` axis.
@@ -61,16 +77,14 @@ def filter_mc_sharded(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, mesh: Mesh) 
     an all-gather only if the caller requests replicated outputs.
     """
     data_batch = shard_mc(jnp.asarray(data_batch), mesh)
+    return _sharded_filter_fn(mesh)(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch)
 
-    @jax.jit
-    def run(md, mo, td, to, ys):
-        out = jax.vmap(lambda y: gaussian_filter(md, mo, td, to, y))(ys)
-        spec = P("dp", *([None] * (out.fi_mean.ndim - 1)))
-        return jax.tree_util.tree_map(
-            lambda a: jax.lax.with_sharding_constraint(
-                a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))), out)
 
-    return run(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch)
+@jax.jit
+def _mc_rmse(xt, fm):
+    se = jnp.sum((xt - fm) ** 2, axis=1)          # (M, N)
+    rmse_t = jnp.sqrt(jnp.mean(se, axis=1))       # (M,) time-averaged per run
+    return jnp.mean(rmse_t)                       # global mean -> psum over dp
 
 
 def mc_metrics_sharded(x_true, result: FilterResult, mesh: Mesh):
@@ -80,11 +94,4 @@ def mc_metrics_sharded(x_true, result: FilterResult, mesh: Mesh):
     ``x_true`` is (M, D, N); ``result.fi_mean`` is (M, D, N).
     """
     x_true = shard_mc(jnp.asarray(x_true), mesh)
-
-    @jax.jit
-    def run(xt, fm):
-        se = jnp.sum((xt - fm) ** 2, axis=1)      # (M, N)
-        rmse_t = jnp.sqrt(jnp.mean(se, axis=1))   # (M,) time-averaged per run
-        return jnp.mean(rmse_t)                   # global mean -> psum over dp
-
-    return run(x_true, result.fi_mean)
+    return _mc_rmse(x_true, result.fi_mean)
