@@ -60,6 +60,7 @@ __all__ = [
     "TruncatedUnscentedKalman", "TruncatedCubatureKalman", "TruncatedGaussHermiteKalman",
     "MultiOutputGaussianProcessKalman", "MultiOutputStudentProcessStudent",
     "MarginalInference", "MarginalizedGaussianProcessKalman", "ExtendedKalmanGPQD",
+    "GaussianProcessDerKalman",
 ]
 
 
@@ -916,6 +917,23 @@ class MarginalizedGaussianProcessKalman(MarginalInference):
         t_dyn = GaussianProcessTransform.create(dyn.dim_in, 1, kpar_dyn, kernel, points, point_hyp)
         t_obs = GaussianProcessTransform.create(obs.dim_state, 1, kpar_obs, kernel, points, point_hyp)
         super().__init__(dyn, obs, t_dyn, t_obs, par_mean, par_cov)
+
+
+class GaussianProcessDerKalman(GaussianInference):
+    """GPQ+D Kalman filter: GPQ transforms with joint function+derivative
+    observations (extension — the reference exposes GPQ+D only at the
+    transform level, ``research/gpqd/gpqd_base.py:11-52``)."""
+
+    def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, points="ut",
+                 point_hyp=None, which_der=None):
+        from .bq.gpqd import GaussianProcessDerTransform
+        t_dyn = GaussianProcessDerTransform.create(dyn.dim_in, dyn.dim_state,
+                                                   kern_par_dyn, points, point_hyp,
+                                                   which_der=which_der)
+        t_obs = GaussianProcessDerTransform.create(obs.dim_in, obs.dim_out,
+                                                   kern_par_obs, points, point_hyp,
+                                                   which_der=which_der)
+        super().__init__(dyn, obs, t_dyn, t_obs)
 
 
 class ExtendedKalmanGPQD(GaussianInference):
