@@ -343,7 +343,7 @@ class BayesSardModel(Model):
 
         dtype = x.dtype
         iK = self.kernel.eval_inv_dot(par, x, scaling=False)
-        V = vandermonde(jnp.asarray(mi), x).astype(dtype)
+        V = vandermonde(mi, x).astype(dtype)
         eye_b = jnp.eye(num_basis, dtype=dtype)
         iViKV = pd_solve(V.T @ iK @ V + 1e-8 * eye_b, eye_b)
 
@@ -395,12 +395,12 @@ class BayesSardModel(Model):
         kx = self.kernel.eval(par, test_data, x_obs)
         kxx = self.kernel.eval(par, test_data, test_data, diag=True)
 
-        V = vandermonde(jnp.asarray(mi), x_obs).astype(dtype)
+        V = vandermonde(mi, x_obs).astype(dtype)
         Z = V.T @ iK
         eye_b = jnp.eye(num_basis, dtype=dtype)
         iViKV = pd_solve(Z @ V, eye_b)
         A = iViKV @ V.T
-        vx = vandermonde(jnp.asarray(mi), test_data).astype(dtype)
+        vx = vandermonde(mi, test_data).astype(dtype)
         b = Z @ kx.T - vx.T
 
         mean = jnp.squeeze((kx - b.T @ A) @ iK @ jnp.atleast_2d(fcn_obs.T).reshape(x_obs.shape[1], -1))
@@ -418,7 +418,7 @@ class BayesSardModel(Model):
         kxpx = _exp_x_kxpx(self._ell(par), mi, x)
         kxkx = self.kernel.exp_x_kxkx(par, par, x)
         iK = self.kernel.eval_inv_dot(par, x, scaling=False)
-        V = vandermonde(jnp.asarray(mi), x).astype(dtype)
+        V = vandermonde(mi, x).astype(dtype)
         iViKV = pd_solve(V.T @ iK @ V, jnp.eye(mi.shape[1], dtype=dtype))
         Z = V.T @ iK
         B = Z @ kxkx @ Z.T + pxpx - Z @ kxpx - kxpx.T @ Z.T
@@ -434,7 +434,7 @@ class BayesSardModel(Model):
         q = self.kernel.exp_x_kx(par, x)
         iK = self.kernel.eval_inv_dot(par, x, scaling=False)
         kbar = self.kernel.exp_xy_kxy(par)
-        V = vandermonde(jnp.asarray(mi), x).astype(dtype)
+        V = vandermonde(mi, x).astype(dtype)
         px = jnp.asarray(_exp_x_px(mi), dtype)
         b = V.T @ iK @ q - px
         iViKV = pd_solve(V.T @ iK @ V, jnp.eye(mi.shape[1], dtype=dtype))

@@ -57,13 +57,16 @@ def vandermonde(mul_ind, x) -> jax.Array:
     Parity with the Numba kernel at ``ssmtoybox/utils.py:478-502``:
     ``vdm[n, b] = prod_d x[d, n] ** mul_ind[d, b]``.
 
-    The reference accelerates this with Numba; on TPU the broadcasted
-    power+product below fuses into a single VPU loop under XLA.  ``0**0`` is 1
-    under ``jnp.power`` for integer exponents, matching NumPy.
+    The multi-index must be a compile-time constant (it always is: BSQ bakes
+    it into the weights).  Monomials are built by repeated multiplication —
+    an ARRAY-valued exponent would lower to ``lax.pow = exp(e*log(x))``,
+    which returns NaN on TPU for the negative sigma-point coordinates and for
+    ``0**0``; static integer exponents lower to plain multiplies and are
+    exact everywhere.
 
     Parameters
     ----------
-    mul_ind : (D, Q) integer array of multi-indices.
+    mul_ind : (D, Q) integer array of multi-indices (static/NumPy).
     x : (D, N) array of points.
 
     Returns
@@ -71,9 +74,18 @@ def vandermonde(mul_ind, x) -> jax.Array:
     (N, Q) array.
     """
     x = jnp.asarray(x)
-    mul_ind = jnp.asarray(mul_ind)
-    # (N, Q, D) -> product over D. Use integer exponents to keep 0**0 == 1.
-    return jnp.prod(x.T[:, None, :] ** mul_ind.T[None, :, :], axis=-1)
+    mul_np = np.asarray(mul_ind, dtype=np.int64)   # requires a static multi-index
+    d, q = mul_np.shape
+    cols = []
+    one = jnp.ones_like(x[0])
+    for b in range(q):
+        col = one
+        for dd in range(d):
+            e = int(mul_np[dd, b])
+            if e:
+                col = col * x[dd] ** e             # static int -> integer_pow
+        cols.append(col)
+    return jnp.stack(cols, axis=1)
 
 
 def vandermonde_np(mul_ind: np.ndarray, x: np.ndarray) -> np.ndarray:
