@@ -1,0 +1,157 @@
+"""Time-parallel Kalman filtering and smoothing via associative scans.
+
+The filters' time recursion is inherently sequential for nonlinear models
+(SURVEY §5.7), but for LINEAR-Gaussian state-space models the Kalman
+recursions are associative and can run in O(log N) depth with
+``jax.lax.associative_scan`` (Särkkä & García-Fernández, "Temporal
+Parallelization of Bayesian Smoothers", IEEE TAC 2021).  This is a TPU-native
+extension beyond the reference's capability set: instead of scaling only
+across Monte-Carlo trajectories, a single long trajectory parallelizes across
+the time axis — the right tool for low-latency post-processing of long
+records.
+
+Model: ``x_k = F x_{k-1} + q, q ~ N(0, Q)``; ``y_k = H x_k + r, r ~ N(0, R)``
+with prior ``x_0 ~ N(m0, P0)`` and measurements ``y_1..y_N`` (same indexing
+as :func:`ssmtoybox_tpu.ssinf.gaussian_filter`).
+
+Filtering elements (a = (A, b, C, eta, J)) compose as
+
+    A = A2 (I + C1 J2)^-1 A1
+    b = A2 (I + C1 J2)^-1 (b1 + C1 eta2) + b2
+    C = A2 (I + C1 J2)^-1 C1 A2^T + C2
+    eta = A1^T (I + J2 C1)^-1 (eta2 - J2 b1) + eta1
+    J = A1^T (I + J2 C1)^-1 J2 A1 + J1
+
+and the filtered posterior at step k is ``N(b_k, C_k)`` after prepending the
+prior element.  Smoothing elements (E, g, L) compose as
+
+    E = E1 E2,  g = E1 g2 + g1,  L = E1 L2 E1^T + L1
+
+run in reverse, giving ``N(g_k, L_k)``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.linalg import gen_solve, pd_solve_small, small_matmul, small_mm3, symmetrize
+
+__all__ = ["parallel_linear_filter", "parallel_linear_smoother"]
+
+
+def _filter_elements(F, Q, H, R, m0, P0, ys):
+    """Per-step filtering elements (eqs. 10-12 of Särkkä & G-F 2021)."""
+    n = ys.shape[0]
+    d = F.shape[0]
+    eye = jnp.eye(d, dtype=F.dtype)
+
+    def generic(y):
+        # predictive covariance contribution of one step: F, Q
+        S = H @ Q @ H.T + R                                 # (E, E)
+        K = pd_solve_small(S, H @ Q).T                      # (D, E)
+        A = (eye - K @ H) @ F
+        b = K @ y
+        C = symmetrize(Q - K @ H @ Q)
+        HF = H @ F
+        eta = HF.T @ pd_solve_small(S, y)
+        J = HF.T @ pd_solve_small(S, HF)
+        return A, b, C, eta, J
+
+    A, b, C, eta, J = jax.vmap(generic)(ys)
+
+    # first element conditions on the prior N(F m0, F P0 F^T + Q)
+    m1 = F @ m0
+    P1 = symmetrize(F @ P0 @ F.T + Q)
+    S1 = H @ P1 @ H.T + R
+    K1 = pd_solve_small(S1, H @ P1).T
+    A0 = jnp.zeros_like(F)
+    b0 = m1 + K1 @ (ys[0] - H @ m1)
+    C0 = symmetrize(P1 - K1 @ H @ P1)
+    eta0 = jnp.zeros((d,), dtype=F.dtype)
+    J0 = jnp.zeros_like(F)
+
+    A = A.at[0].set(A0)
+    b = b.at[0].set(b0)
+    C = C.at[0].set(C0)
+    eta = eta.at[0].set(eta0)
+    J = J.at[0].set(J0)
+    return A, b, C, eta, J
+
+
+def _combine_filter(elem1, elem2):
+    """Associative filtering-element composition (eq. 9)."""
+    A1, b1, C1, eta1, J1 = elem1
+    A2, b2, C2, eta2, J2 = elem2
+    d = A1.shape[-1]
+    eye = jnp.eye(d, dtype=A1.dtype)
+
+    # (I + C1 J2)^-1 — general (non-symmetric) solve, unrolled Gauss-Jordan
+    M = jax.vmap(gen_solve)(eye + small_matmul(C1, J2), jnp.broadcast_to(eye, A1.shape))
+    A2M = small_matmul(A2, M)
+    A = small_matmul(A2M, A1)
+    b = small_matmul(A2M, b1 + small_matmul(C1, eta2)) + b2
+    C = small_mm3(A2M, C1, jnp.swapaxes(A2, -1, -2)) + C2
+
+    Mt = jax.vmap(gen_solve)(eye + small_matmul(J2, C1), jnp.broadcast_to(eye, A1.shape))
+    A1tMt = small_matmul(jnp.swapaxes(A1, -1, -2), Mt)
+    eta = small_matmul(A1tMt, eta2 - small_matmul(J2, b1)) + eta1
+    J = small_mm3(A1tMt, J2, A1) + J1
+    return A, b, C, eta, J
+
+
+def parallel_linear_filter(F, Q, H, R, m0, P0, data) -> Tuple[jax.Array, jax.Array]:
+    """Kalman-filter a linear-Gaussian model in O(log N) parallel depth.
+
+    Parameters follow the module docstring; ``data`` is (dim_y, N).
+    Returns ``(fi_mean (D, N), fi_cov (D, D, N))`` — identical (to rounding)
+    to the sequential filter.
+    """
+    ys = jnp.asarray(data).T                               # (N, E)
+    elems = _filter_elements(jnp.asarray(F), jnp.asarray(Q), jnp.asarray(H),
+                             jnp.asarray(R), jnp.asarray(m0), jnp.asarray(P0), ys)
+    A, b, C, eta, J = jax.lax.associative_scan(_combine_filter, elems)
+    return jnp.moveaxis(b, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(C), 0, -1)
+
+
+def _combine_smoother(elem2, elem1):
+    """Associative smoothing-element composition (reverse direction)."""
+    E1, g1, L1 = elem1
+    E2, g2, L2 = elem2
+    E = small_matmul(E1, E2)
+    g = small_matmul(E1, g2) + g1
+    L = small_mm3(E1, L2, jnp.swapaxes(E1, -1, -2)) + L1
+    return E, g, L
+
+
+def parallel_linear_smoother(F, Q, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
+    """RTS-smooth the parallel filter output in O(log N) parallel depth.
+
+    ``fi_mean``/``fi_cov`` are the (D, N)/(D, D, N) outputs of
+    :func:`parallel_linear_filter`.  Returns smoothed ``(means, covs)`` of the
+    same shapes (textbook RTS — every step smoothed from the final filtered
+    estimate).
+    """
+    F = jnp.asarray(F)
+    Q = jnp.asarray(Q)
+    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
+    P = jnp.moveaxis(jnp.asarray(fi_cov), -1, 0)           # (N, D, D)
+
+    def element(mk, Pk):
+        Pp = symmetrize(F @ Pk @ F.T + Q)                  # predictive at k+1
+        G = pd_solve_small(Pp, F @ Pk).T                   # smoother gain
+        E = G
+        g = mk - G @ (F @ mk)
+        L = symmetrize(Pk - G @ Pp @ G.T)
+        return E, g, L
+
+    # elements for steps 0..N-2; the last step keeps its filtered moments
+    E, g, L = jax.vmap(element)(m[:-1], P[:-1])
+    eyeD = jnp.eye(F.shape[0], dtype=F.dtype)
+    E = jnp.concatenate([E, jnp.zeros_like(F)[None]], axis=0)
+    g = jnp.concatenate([g, m[-1:]], axis=0)
+    L = jnp.concatenate([L, P[-1:]], axis=0)
+
+    E_s, g_s, L_s = jax.lax.associative_scan(_combine_smoother, (E, g, L), reverse=True)
+    return jnp.moveaxis(g_s, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(L_s), 0, -1)

@@ -205,10 +205,11 @@ def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     k_dim = a.shape[-1]
     if k_dim > UNROLL_MATMUL_MAX:
         return a @ b
-    if b.ndim == 1:
-        out = a[..., :, 0] * b[0]
+    if b.ndim == a.ndim - 1:
+        # matrix-vector (possibly batched): b is (..., K)
+        out = a[..., :, 0] * b[..., 0, None]
         for k in range(1, k_dim):
-            out = out + a[..., :, k] * b[k]
+            out = out + a[..., :, k] * b[..., k, None]
         return out
     out = a[..., :, 0, None] * b[..., 0, :][..., None, :]
     for k in range(1, k_dim):
