@@ -205,8 +205,10 @@ def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     k_dim = a.shape[-1]
     if k_dim > UNROLL_MATMUL_MAX:
         return a @ b
-    if b.ndim == a.ndim - 1:
-        # matrix-vector (possibly batched): b is (..., K)
+    # matrix-vector iff b is (..., K) with batch dims matching a's — an
+    # unbatched (K, J) right operand against a batched a must stay matmat
+    is_vec = b.ndim == 1 or (b.ndim == a.ndim - 1 and b.shape[:-1] == a.shape[:-2])
+    if is_vec:
         out = a[..., :, 0] * b[..., 0, None]
         for k in range(1, k_dim):
             out = out + a[..., :, k] * b[..., k, None]
