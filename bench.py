@@ -90,6 +90,18 @@ def tpu_run():
     t_re = time.perf_counter() - t0
     log(f"Reentry UKF {MC_RUNS}x{REENTRY_STEPS} f64: {t_re:.3f}s")
 
+    # ---------------- info-only: BQ filter on the same UNGM study ----------
+    gpq = st.GaussianProcessKalman(dyn, obs, np.array([[1.0, 3.0]]),
+                                   np.array([[1.0, 3.0]]), points="ut")
+    run_gpq = jax.jit(lambda md, mo, td, to, b: jax.vmap(
+        lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
+    out_g = run_gpq(dyn, obs, gpq.tf_dyn, gpq.tf_obs, ys)
+    float(jnp.sum(out_g))
+    t0 = time.perf_counter()
+    out_g = run_gpq(dyn, obs, gpq.tf_dyn, gpq.tf_obs, ys)
+    float(jnp.sum(out_g))
+    log(f"(info) UNGM GPQKF {MC_RUNS}x{UNGM_STEPS} f64: {time.perf_counter() - t0:.3f}s")
+
     # keep the same y data for the baseline comparison subsets
     y_np = np.asarray(y[..., :BASE_MC_UNGM])
     y_re_np = np.asarray(y_re[..., :BASE_MC_REENTRY])

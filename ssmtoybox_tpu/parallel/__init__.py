@@ -1,10 +1,10 @@
 """Multi-chip scaling: device meshes, sharded MC studies, distributed fitting."""
-from .mesh import make_mesh, shard_mc, filter_mc_sharded, mc_metrics_sharded
+from .mesh import make_mesh, shard_mc, filter_mc_sharded, filter_bank_sharded, mc_metrics_sharded
 from .fit import nlml_loss, make_fit_step, fit_kernel_params
 from .timescan import parallel_linear_filter, parallel_linear_smoother
 
 __all__ = [
-    "make_mesh", "shard_mc", "filter_mc_sharded", "mc_metrics_sharded",
+    "make_mesh", "shard_mc", "filter_mc_sharded", "filter_bank_sharded", "mc_metrics_sharded",
     "nlml_loss", "make_fit_step", "fit_kernel_params",
     "parallel_linear_filter", "parallel_linear_smoother",
 ]

@@ -80,6 +80,36 @@ def filter_mc_sharded(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, mesh: Mesh) 
     return _sharded_filter_fn(mesh)(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_bank_fn(mesh: Mesh):
+    @jax.jit
+    def run(md, mo, tf_dyn_bank, tf_obs_bank, ys):
+        def one_member(td, to):
+            return jax.vmap(lambda y: gaussian_filter(md, mo, td, to, y))(ys)
+
+        out = jax.vmap(one_member)(tf_dyn_bank, tf_obs_bank)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("fb", "dp", *([None] * (a.ndim - 2))))), out)
+
+    return run
+
+
+def filter_bank_sharded(mod_dyn, mod_obs, tf_dyn_bank, tf_obs_bank, data_batch,
+                        mesh: Mesh) -> FilterResult:
+    """Run a BANK of filter variants over an MC batch on the (dp, fb) mesh.
+
+    ``tf_dyn_bank``/``tf_obs_bank`` are transform pytrees with a leading bank
+    axis (e.g. built by stacking transforms with different kernel parameters:
+    ``jax.tree_util.tree_map(lambda *a: jnp.stack(a), *transforms)``).  The
+    result carries (K, M, ...) moments, sharded K over ``fb`` and M over
+    ``dp`` — the filter-bank structure of the reference's comparison studies
+    (``bsq_ungm.py:109-122``) as one SPMD program instead of nested loops.
+    """
+    data_batch = shard_mc(jnp.asarray(data_batch), mesh)
+    return _sharded_bank_fn(mesh)(mod_dyn, mod_obs, tf_dyn_bank, tf_obs_bank, data_batch)
+
+
 @jax.jit
 def _mc_rmse(xt, fm):
     se = jnp.sum((xt - fm) ** 2, axis=1)          # (M, N)

@@ -69,3 +69,24 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (5,) and out[1].shape == (5, 5)
     g.dryrun_multichip(8)
+
+
+def test_filter_bank_sharded(setup):
+    """A bank of kernel-parameter variants runs as one (dp, fb) SPMD program
+    and matches per-member unsharded runs."""
+    from ssmtoybox_tpu.parallel import filter_bank_sharded
+    from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+    dyn, obs, x, y = setup
+    mesh = make_mesh(dp=4, fb=2)
+    tfs = [GaussianProcessTransform.create(1, 1, np.array([[1.0, el]]), point_str="ut")
+           for el in (1.0, 3.0)]
+    bank = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *tfs)
+    batch = jnp.moveaxis(y, -1, 0)
+    out = filter_bank_sharded(dyn, obs, bank, bank, batch, mesh)
+    assert out.fi_mean.shape == (2, 16, 1, 40)
+    assert "fb" in str(out.fi_mean.sharding.spec)
+    # member 1 must equal the plain sharded/vmapped run with that transform
+    import ssmtoybox_tpu as st
+    single = st.ssinf.gaussian_filter_batch(dyn, obs, tfs[1], tfs[1], batch)
+    np.testing.assert_allclose(np.asarray(out.fi_mean[1]), np.asarray(single.fi_mean),
+                               rtol=1e-10, atol=1e-10)

@@ -155,3 +155,20 @@ def test_chol_small_grad():
     eps = 1e-6
     fd = (f(A + eps * jnp.eye(2)) - f(A - eps * jnp.eye(2))) / (2 * eps)
     np.testing.assert_allclose(jnp.trace(g), fd, rtol=1e-5)
+
+
+@pytest.mark.parametrize("d", [1, 2, 3, 5, 8, 9])
+def test_chol_small_matches_lapack_across_dims(d):
+    """Unrolled Cholesky/substitution vs LAPACK over random PD batches."""
+    from ssmtoybox_tpu.utils.linalg import chol_small, cho_solve_small
+    from jax.scipy.linalg import cho_solve
+    rng = np.random.RandomState(d)
+    A = jnp.asarray(rng.randn(16, d, d))
+    P = jnp.einsum("mij,mkj->mik", A, A) + d * jnp.eye(d)
+    L = chol_small(P)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(P)),
+                               rtol=1e-10, atol=1e-10)
+    b = jnp.asarray(rng.randn(16, d, 3))
+    x = cho_solve_small(L, b)
+    x_ref = cho_solve((jnp.linalg.cholesky(P), True), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9, atol=1e-9)
