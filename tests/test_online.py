@@ -88,3 +88,25 @@ def test_online_donation_does_not_eat_model_buffers():
     state2, _ = step(state2, jnp.asarray([1.0]))
     assert bool(jnp.isfinite(state2.mean).all())
     np.testing.assert_allclose(np.asarray(dyn.init_rv.mean), 0.0)
+
+
+def test_results_cache_roundtrip(tmp_path):
+    """Study result caching (experiments/common.py, SURVEY §5.4)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from experiments.common import save_results, load_results
+    path = str(tmp_path / "study.npz")
+    save_results(path, fm=np.arange(6.0).reshape(2, 3), rmse=np.array([1.0, 2.0]))
+    out = load_results(path)
+    np.testing.assert_allclose(out["fm"], np.arange(6.0).reshape(2, 3))
+    assert load_results(str(tmp_path / "missing.npz")) is None
+
+
+def test_profiler_trace_writes(tmp_path):
+    """jax.profiler trace context produces a trace directory (SURVEY §5.1)."""
+    from ssmtoybox_tpu.utils import trace
+    import os
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jnp.sum(jnp.arange(100.0)).block_until_ready()
+    assert os.path.isdir(d) and len(os.listdir(d)) > 0
