@@ -234,6 +234,13 @@ def baseline_numpy(y_ungm, y_reentry):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mc", type=int, default=None, help="override MC_RUNS")
+    args = ap.parse_args()
+    global MC_RUNS
+    if args.mc:
+        MC_RUNS = args.mc
     t_tpu, y_np, y_re_np = tpu_run()
     try:
         if os.path.isdir("/root/reference"):

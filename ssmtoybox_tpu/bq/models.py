@@ -74,6 +74,10 @@ class BQWeights(struct.PyTreeNode):
 class Model(struct.PyTreeNode):
     """Base integrand model = kernel + point set (``bqmod.py:15-424``)."""
 
+    # supported acronym lists (cf. ``bqmod.py:82-83``)
+    _supported_points_ = _SUPPORTED_POINTS
+    _supported_kernels_ = _SUPPORTED_KERNELS
+
     kernel: Kernel
     points: jax.Array
     dim_in: int = struct.field(pytree_node=False)

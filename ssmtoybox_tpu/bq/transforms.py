@@ -50,6 +50,9 @@ class BQTransform(MomentTransform, struct.PyTreeNode):
     needed by the covariance rules of the concrete variants.
     """
 
+    # supported integrand models (cf. ``bqmtran.py:53``)
+    _supported_models_ = ["gp", "gp-mo", "tp", "tp-mo", "bs"]
+
     model: GaussianProcessModel
     wm: jax.Array
     Wc: jax.Array

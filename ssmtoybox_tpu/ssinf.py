@@ -362,6 +362,10 @@ class StateSpaceInference:
 
     def forward_pass(self, data):
         data = jnp.asarray(data)
+        if data.ndim != 2 or data.shape[0] != self.mod_obs.dim_out:
+            raise ValueError(
+                f"data must be (dim_y={self.mod_obs.dim_out}, num_steps); got {data.shape}. "
+                "For a batch of trajectories use forward_pass_batch((M, dim_y, N)).")
         self._result = self._run_forward(data)
         self.fi_mean, self.fi_cov = self._result.fi_mean, self._result.fi_cov
         self.set_flag("filtered", True)
