@@ -580,19 +580,20 @@ class GPQStudent(StudentianInference):
     Student-weighted RBF kernel (``research/tpq/tpq_base.py:43-91``)."""
 
     def __init__(self, dyn, obs, kern_par_dyn, kern_par_obs, point_hyp=None, dof=4.0,
-                 fixed_dof=True):
+                 fixed_dof=True, mc_opts=None):
         from .bq.transforms import GaussianProcessTransform
         q_dof = dyn.noise_rv.dof
         r_dof = obs.noise_rv.dof
         point_hyp = dict(point_hyp or {})
         point_hyp_dyn = dict(point_hyp, dof=q_dof)
         point_hyp_obs = dict(point_hyp, dof=r_dof)
+        mc_opts = dict(mc_opts or {})
         t_dyn = GaussianProcessTransform.create(dyn.dim_in, 1, kern_par_dyn,
                                                 "rbf-student", "fs", point_hyp_dyn,
-                                                dof=q_dof)
+                                                dof=q_dof, **mc_opts)
         t_obs = GaussianProcessTransform.create(obs.dim_in, 1, kern_par_obs,
                                                 "rbf-student", "fs", point_hyp_obs,
-                                                dof=r_dof)
+                                                dof=r_dof, **mc_opts)
         super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
 
 

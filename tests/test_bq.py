@@ -29,7 +29,7 @@ def rbf_setup():
     return RBFGauss.create(2, par), par, x
 
 
-def _mc_expectation(fn, dim, num=400_000, seed=0):
+def _mc_expectation(fn, dim, num=150_000, seed=0):
     """Monte-Carlo ground truth for E_{x~N(0,I)}[fn(x)] (cf. test_bqkern.py:142-173)."""
     key = jax.random.PRNGKey(seed)
     xs = jax.random.normal(key, (num, dim))
@@ -41,14 +41,14 @@ class TestRBFExpectations:
         kern, par, x = rbf_setup
         q = kern.exp_x_kx(par, x)
         q_mc = _mc_expectation(lambda s: kern.eval(par, s[:, None], x, scaling=False)[0], 2)
-        np.testing.assert_allclose(q, q_mc, atol=3e-3)
+        np.testing.assert_allclose(q, q_mc, atol=5e-3)
 
     def test_R_vs_mc(self, rbf_setup):
         kern, par, x = rbf_setup
         R = kern.exp_x_xkx(par, x)
         R_mc = _mc_expectation(
             lambda s: s[:, None] * kern.eval(par, s[:, None], x, scaling=False)[0][None, :], 2)
-        np.testing.assert_allclose(R, R_mc, atol=3e-3)
+        np.testing.assert_allclose(R, R_mc, atol=5e-3)
 
     def test_Q_vs_mc(self, rbf_setup):
         kern, par, x = rbf_setup
@@ -56,7 +56,7 @@ class TestRBFExpectations:
         Q_mc = _mc_expectation(
             lambda s: jnp.outer(kern.eval(par, s[:, None], x, scaling=False)[0],
                                 kern.eval(par, s[:, None], x, scaling=False)[0]), 2)
-        np.testing.assert_allclose(Q, Q_mc, atol=3e-3)
+        np.testing.assert_allclose(Q, Q_mc, atol=5e-3)
 
     def test_kxy_vs_mc(self, rbf_setup):
         kern, par, x = rbf_setup

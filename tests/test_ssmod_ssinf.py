@@ -267,7 +267,8 @@ class TestResearchStudentFilters:
         fm, _ = st.ExtendedStudent(dyn, obs, dof=4.0).forward_pass(y)
         assert bool(jnp.isfinite(fm).all())
         kpar = np.array([[1.0, 1.0]])
-        fm, _ = st.GPQStudent(dyn, obs, kpar, kpar, dof=4.0).forward_pass(y)
+        fm, _ = st.GPQStudent(dyn, obs, kpar, kpar, dof=4.0,
+                              mc_opts={"num_samples": 100_000}).forward_pass(y)
         assert bool(jnp.isfinite(fm).all())
 
 
