@@ -584,14 +584,22 @@ class MultiOutputModel(Model):
     """One kernel-parameter row per output (``bqmod.py:1248-1478``)."""
 
     dim_out: int = struct.field(pytree_node=False, default=1)
+    # The reference fills the upper output-triangle of its covariance-weight
+    # tensor by copying the lower one WITHOUT transposing the point axes
+    # (``w_c[..., j, i] = w_c[..., i, j]``, bqmod.py:1292-1297) before the
+    # final symmetrization.  True (default) reproduces that; False computes
+    # every block ``iK_e Q_ef iK_f`` exactly.
+    compat_mirror_wc: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, dim_in, dim_out, kern_par, kern_str="rbf", point_str="ut",
-               point_par=None, estimate_par=False, dtype=None, **kern_kwargs):
+               point_par=None, estimate_par=False, dtype=None,
+               compat_mirror_wc=True, **kern_kwargs):
         kernel, points = cls._build_parts(dim_in, kern_par, kern_str, point_str, point_par,
                                           dtype, **kern_kwargs)
         return cls(kernel=kernel, points=points, dim_in=dim_in, num_pts=points.shape[1],
-                   str_pts=point_str, estimate_par=estimate_par, dim_out=dim_out)
+                   str_pts=point_str, estimate_par=estimate_par, dim_out=dim_out,
+                   compat_mirror_wc=compat_mirror_wc)
 
     def bq_weights(self, par=None, *args) -> MOWeights:
         """Tensor-valued MO-BQ weights (``bqmod.py:1254-1315``).
@@ -611,6 +619,10 @@ class MultiOutputModel(Model):
 
         w_m = jnp.einsum("en,enm->me", q, iK)
         w_c = jnp.einsum("eni,efij,fjm->nmef", iK, Q, iK)
+        if self.compat_mirror_wc:
+            e_ge_f = (jnp.arange(self.dim_out)[:, None]
+                      >= jnp.arange(self.dim_out)[None, :])                   # (E, E)
+            w_c = jnp.where(e_ge_f[None, None], w_c, jnp.swapaxes(w_c, 2, 3))
         w_c = 0.5 * (w_c + jnp.swapaxes(jnp.swapaxes(w_c, 0, 1), 2, 3))
         w_cc = jnp.einsum("edi,ein->dne", R, iK)
 

@@ -330,6 +330,84 @@ def test_transform_apply_parity(goldens):
     assert_close(ccf, g["p2c_gpq_ccf"], "p2c gpq ccov")
 
 
+def test_linearization_taylor_transform_parity(goldens):
+    """Linearization + Taylor-GPQD applies match the reference
+    (mtran.py:49-60, 668-701); ours derives Jacobians with jacfwd instead of
+    the reference's hand-written dx=True protocol."""
+    from ssmtoybox_tpu.mtran import LinearizationTransform, TaylorGPQDTransform
+    g = goldens["transforms2"]
+
+    def p2c(x, pars):
+        return x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
+
+    mean2, cov2 = jnp.asarray(g["mean2"]), jnp.asarray(g["cov2"])
+    lin = LinearizationTransform.create(2)
+    mf, cf, ccf = lin.apply(p2c, mean2, cov2, None)
+    assert_close(mf, g["lin_mf"], "lin mean")
+    assert_close(cf, g["lin_cf"], "lin cov")
+    assert_close(ccf, g["lin_ccf"], "lin ccov")
+
+    tay = TaylorGPQDTransform.create(2, g["tay_par"])
+    mf, cf, ccf = tay.apply(p2c, mean2, cov2, None)
+    assert_close(mf, g["tay_mf"], "taylor mean")
+    assert_close(cf, g["tay_cf"], "taylor cov")
+    # ours returns (E, D); the reference returns (D, E) — see mtran.py docstring
+    assert_close(ccf, g["tay_ccf"].T, "taylor ccov")
+
+
+@pytest.mark.parametrize("name,make", [
+    ("tut", lambda: __import__("ssmtoybox_tpu.mtran", fromlist=["x"]).TruncatedUnscentedTransform(3, 2)),
+    ("tsr", lambda: __import__("ssmtoybox_tpu.mtran", fromlist=["x"]).TruncatedSphericalRadialTransform(3, 2)),
+    ("tgh", lambda: __import__("ssmtoybox_tpu.mtran", fromlist=["x"]).TruncatedGaussHermiteTransform(3, 2, degree=3)),
+])
+def test_truncated_transform_parity(goldens, name, make):
+    """Truncated sigma-point rules match the reference (mtran.py:588-658) on a
+    3D input whose last dimension is irrelevant to the nonlinearity."""
+    g = goldens["transforms2"]
+
+    def p2c_aug(x, pars):
+        return x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
+
+    tf = make()
+    mf, cf, ccf = tf.apply(p2c_aug, jnp.asarray(g["mean3"]), jnp.asarray(g["cov3"]), None)
+    assert_close(mf, g[f"{name}_mf"], f"{name} mean")
+    assert_close(cf, g[f"{name}_cf"], f"{name} cov")
+    assert_close(ccf, g[f"{name}_ccf"], f"{name} ccov")
+
+
+def test_multioutput_transform_parity(goldens):
+    """MO-GPQ / MO-TPQ weights and applied moments match the reference's
+    intended math (bqmod.py:1254-1316 weights + bqmtran.py:462-523 moment
+    contractions; the reference's own transform-level plumbing is broken —
+    see tools/gen_goldens.py scenario H3)."""
+    from ssmtoybox_tpu.bq.transforms import (
+        MultiOutputGaussianProcessTransform, MultiOutputStudentTProcessTransform)
+    g = goldens["transforms2"]
+    par_mo = g["mo_par"]
+    mean2, cov2 = jnp.asarray(g["mean2"]), jnp.asarray(g["cov2"])
+
+    def p2c(x, pars):
+        return x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
+
+    mo = MultiOutputGaussianProcessTransform.create(2, 2, par_mo, point_str="ut")
+    assert_close(mo.wm, g["mo_gp_wm"], "mo-gp wm")
+    assert_close(mo.Wc, g["mo_gp_wc"], "mo-gp Wc")
+    assert_close(mo.Wcc, g["mo_gp_wcc"], "mo-gp Wcc")
+    mf, cf, ccf = mo.apply(p2c, mean2, cov2, None)
+    assert_close(mf, g["mo_gp_mf"], "mo-gp mean")
+    assert_close(cf, g["mo_gp_cf"], "mo-gp cov")
+    assert_close(ccf, g["mo_gp_ccf"], "mo-gp ccov")
+
+    mo_tp = MultiOutputStudentTProcessTransform.create(2, 2, par_mo, point_str="ut", nu=4.0)
+    assert_close(mo_tp.wm, g["mo_tp_wm"], "mo-tp wm")
+    assert_close(mo_tp.Wc, g["mo_tp_wc"], "mo-tp Wc")
+    assert_close(mo_tp.Wcc, g["mo_tp_wcc"], "mo-tp Wcc")
+    mf, cf, ccf = mo_tp.apply(p2c, mean2, cov2, None)
+    assert_close(mf, g["mo_tp_mf"], "mo-tp mean")
+    assert_close(cf, g["mo_tp_cf"], "mo-tp cov")
+    assert_close(ccf, g["mo_tp_ccf"], "mo-tp ccov")
+
+
 # ---------------------------------------------------------------------------
 # GPQ+D derivative kernel / weights / transform
 # ---------------------------------------------------------------------------

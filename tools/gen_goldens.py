@@ -428,5 +428,83 @@ def main():
     print("metrics.npz done")
 
 
+def scenario_h3():
+    """Scenario H3: truncated / multi-output / linearization / Taylor-GPQD
+    transform goldens (reference mtran.py:49-60,588-658,668-701 and
+    bqmtran.py:425-645), written to ``transforms2.npz``."""
+    from ssmtoybox.mtran import (
+        LinearizationTransform, TaylorGPQDTransform,
+        TruncatedUnscentedTransform, TruncatedSphericalRadialTransform,
+        TruncatedGaussHermiteTransform)
+    from ssmtoybox.bq.bqmtran import (
+        MultiOutputGaussianProcessTransform, MultiOutputStudentTProcessTransform)
+
+    data = {}
+
+    def p2c(x, pars, dx=False):
+        if dx:
+            return np.array([[np.cos(x[1]), -x[0] * np.sin(x[1])],
+                             [np.sin(x[1]), x[0] * np.cos(x[1])]])
+        return x[0] * np.array([np.cos(x[1]), np.sin(x[1])])
+
+    mean2 = np.array([1.0, np.pi / 6])
+    cov2 = np.diag([0.05 ** 2, (np.pi / 10) ** 2])
+    data["mean2"], data["cov2"] = mean2, cov2
+
+    lin = LinearizationTransform(2)
+    mf, cf, ccf = lin.apply(p2c, mean2, cov2, None)
+    data["lin_mf"], data["lin_cf"], data["lin_ccf"] = mf, cf, ccf
+
+    par_t = np.array([[1.0, 2.5]])
+    tay = TaylorGPQDTransform(2, par_t)
+    mf, cf, ccf = tay.apply(p2c, mean2, cov2, None)
+    data["tay_par"] = par_t
+    data["tay_mf"], data["tay_cf"], data["tay_ccf"] = mf, cf, ccf
+
+    # truncated rules: 3D input, only the first 2 dims are effective
+    def p2c_aug(x, pars):
+        return x[0] * np.array([np.cos(x[1]), np.sin(x[1])])
+
+    mean3 = np.array([1.0, np.pi / 6, -0.4])
+    cov3 = np.array([[0.05 ** 2, 0.0, 0.001],
+                     [0.0, (np.pi / 10) ** 2, 0.0],
+                     [0.001, 0.0, 0.3]])
+    data["mean3"], data["cov3"] = mean3, cov3
+    for name, tf in [("tut", TruncatedUnscentedTransform(3, 2)),
+                     ("tsr", TruncatedSphericalRadialTransform(3, 2)),
+                     ("tgh", TruncatedGaussHermiteTransform(3, 2, degree=3))]:
+        mf, cf, ccf = tf.apply(p2c_aug, mean3, cov3, None)
+        data[f"{name}_mf"], data[f"{name}_cf"], data[f"{name}_ccf"] = mf, cf, ccf
+
+    # multi-output BQ transforms: one kernel-parameter row per output
+    par_mo = np.array([[1.0, 0.7, 1.1],
+                       [1.3, 0.9, 1.4]])
+    data["mo_par"] = par_mo
+    # NOTE: the reference MO transforms never set self.wm at init and their
+    # weights() plumbing is broken (BQTransform.weights 5-unpacks the MO
+    # model's 3-tuple, bqmtran.py:111-129 vs bqmod.py:1254-1316) — the MO
+    # filters are documented as experimental/known-broken (ssinf.py:953-955).
+    # The intended math lives in MultiOutputModel.bq_weights; install those
+    # weights by hand, then apply() exercises the MO einsum moment equations.
+    mo = MultiOutputGaussianProcessTransform(2, 2, par_mo, point_str="ut")
+    mo.wm, mo.Wc, mo.Wcc = mo.model.bq_weights(par_mo)
+    mf, cf, ccf = mo.apply(p2c, mean2, cov2, None)
+    data["mo_gp_wm"], data["mo_gp_wc"], data["mo_gp_wcc"] = mo.wm, mo.Wc, mo.Wcc
+    data["mo_gp_mf"], data["mo_gp_cf"], data["mo_gp_ccf"] = mf, cf, ccf
+
+    mo_tp = MultiOutputStudentTProcessTransform(2, 2, par_mo, point_str="ut", nu=4.0)
+    mo_tp.wm, mo_tp.Wc, mo_tp.Wcc = mo_tp.model.bq_weights(par_mo)
+    mf, cf, ccf = mo_tp.apply(p2c, mean2, cov2, None)
+    data["mo_tp_wm"], data["mo_tp_wc"], data["mo_tp_wcc"] = mo_tp.wm, mo_tp.Wc, mo_tp.Wcc
+    data["mo_tp_mf"], data["mo_tp_cf"], data["mo_tp_ccf"] = mf, cf, ccf
+
+    np.savez(os.path.join(OUT, "transforms2.npz"), **data)
+    print("transforms2.npz done")
+
+
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:] == ["h3"]:
+        scenario_h3()
+    else:
+        main()
+        scenario_h3()
