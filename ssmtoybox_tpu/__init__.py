@@ -27,6 +27,7 @@ from .mtran import (
     SphericalRadialTransform, UnscentedTransform, GaussHermiteTransform,
     FullySymmetricStudentTransform, TaylorGPQDTransform,
 )
+from .sqrt import SquareRootKalman, make_sqrt_filter, SqrtFilterResult
 from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
@@ -35,7 +36,7 @@ from .ssinf import (
 )
 
 __all__ = [
-    "utils", "points", "mtran", "ssmod", "ssinf", "bq", "ops", "parallel", "online",
+    "utils", "points", "mtran", "ssmod", "ssinf", "bq", "ops", "parallel", "online", "sqrt",
     "GaussRV", "StudentRV", "GaussianMixtureRV",
     "LinearizationTransform", "MonteCarloTransform", "SigmaPointTransform",
     "SphericalRadialTransform", "UnscentedTransform", "GaussHermiteTransform",
@@ -44,4 +45,5 @@ __all__ = [
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
     "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
+    "SquareRootKalman", "make_sqrt_filter", "SqrtFilterResult",
 ]

@@ -1,0 +1,231 @@
+"""Square-root sigma-point filtering — the TPU float32 fast path.
+
+The reference keeps full covariances and refactorizes them with a Cholesky at
+every step (``ssinf.py:254-344`` via ``mtran.py:133-149``).  This module is
+an extension with no reference counterpart: it propagates the lower Cholesky
+factor itself — Van der Merwe & Wan's square-root UKF generalized to any
+classical sigma-point rule — which
+
+* keeps the covariance positive-definite *by construction*, making single
+  precision — the TPU's native fast path (the MXU and VPU are f32) — usable
+  on problems where the plain recursion loses definiteness,
+* replaces the per-step factorization with a batched QR of the weighted
+  sigma-point deviations, and
+* needs only triangular solves in the gain computation.
+
+Supported: classical sigma-point transforms (vector ``wm``, diagonal ``Wc``:
+SR/UT/GH/FS rules) with additive noise on both models.  Negative covariance
+weights (UT with ``kappa < 0``) are handled with static rank-1 Cholesky
+downdates (:func:`~ssmtoybox_tpu.utils.linalg.cholupdate_small`).  BQ
+transforms carry dense ``Wc`` plus an expected-model-variance term and stay
+on the full-covariance path.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .mtran import (SigmaPointTransform, apply_f_columns, SphericalRadialTransform,
+                    UnscentedTransform, GaussHermiteTransform,
+                    FullySymmetricStudentTransform)
+from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small)
+
+__all__ = ["SqrtFilterResult", "make_sqrt_filter", "SquareRootKalman"]
+
+
+class SqrtFilterResult(struct.PyTreeNode):
+    """Stacked square-root forward-pass moments (state-dim first, time last):
+    ``fi_mean`` (D, N), ``fi_sqrt`` (D, D, N) lower Cholesky factors, plus the
+    predicted pairs."""
+
+    fi_mean: jax.Array
+    fi_sqrt: jax.Array
+    pr_mean: jax.Array
+    pr_sqrt: jax.Array
+
+
+def _qr_factor(cols: jax.Array) -> jax.Array:
+    """Lower-triangular factor of ``cols @ cols^T`` via QR of ``cols^T``.
+
+    ``cols`` is (..., D, M) with M >= D; returns (..., D, D) with a positive
+    diagonal.  One fused batched QR replaces forming the covariance and
+    refactorizing it — and never squares the conditioning, which is the point
+    of the square-root form in f32.
+    """
+    r = jnp.linalg.qr(jnp.swapaxes(cols, -1, -2), mode="r")
+    sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)
+    return jnp.swapaxes(r * sgn[..., :, None], -1, -2)
+
+
+def _rule_arrays(tf, what: str):
+    """Extract (unit points, wm, diag wc, negative-weight indices) from a
+    classical sigma-point transform, concretely (trace-time constants)."""
+    if not isinstance(tf, SigmaPointTransform):
+        raise TypeError(
+            f"square-root filtering needs a classical sigma-point transform for the "
+            f"{what} model (SR/UT/GH/FS rules); got {type(tf).__name__} — BQ "
+            f"transforms carry dense covariance weights and an expected-model-"
+            f"variance term and are only supported on the full-covariance path")
+    xi = np.asarray(tf.unit_sp)
+    wm = np.asarray(tf.wm)
+    Wc = np.asarray(tf.Wc)
+    if not np.allclose(Wc, np.diag(np.diag(Wc))):
+        raise TypeError(f"{what} transform has a non-diagonal covariance-weight "
+                        f"matrix; square-root form requires a classical rule")
+    wc = np.diag(Wc)
+    neg = tuple(int(i) for i in np.nonzero(wc < 0)[0])
+    return xi, wm, wc, neg
+
+
+def _psd_chol(P: np.ndarray) -> np.ndarray:
+    """Concrete lower factor with an eigh fallback for PSD noise covariances."""
+    try:
+        return np.linalg.cholesky(P)
+    except np.linalg.LinAlgError:
+        w, v = np.linalg.eigh((P + P.T) / 2.0)
+        return v * np.sqrt(np.clip(w, 0.0, None))[None, :]
+
+
+def _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg_idx):
+    """Factor of ``dev diag(wc) dev^T + noise_cols noise_cols^T``: QR over the
+    positively-weighted columns, rank-1 downdates for the (statically known)
+    negative weights."""
+    S = _qr_factor(jnp.concatenate([dev * sqrt_pos, noise_cols], axis=-1))
+    for i in neg_idx:
+        S = cholupdate_small(S, dev[..., :, i], wc[i])
+    return S
+
+
+def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
+    """Build a jitted square-root Gaussian filter for additive-noise models.
+
+    Returns ``filter_fn(data, init_mean=None, init_sqrt=None) ->
+    SqrtFilterResult`` over a (dim_y, N) record; vmap it for MC batches.
+    ``dtype`` casts the whole recursion (e.g. ``jnp.float32`` for the TPU
+    fast path) — the factor form keeps f32 stable where the plain recursion
+    needs f64.
+    """
+    if not (mod_dyn.noise_additive and mod_obs.noise_additive):
+        raise NotImplementedError(
+            "square-root filtering currently supports additive-noise models; "
+            "non-additive models need the augmented-state full-covariance path")
+
+    xi_d, wm_d, wc_d, neg_d = _rule_arrays(tf_dyn, "dynamics")
+    xi_o, wm_o, wc_o, neg_o = _rule_arrays(tf_obs, "measurement")
+
+    q_cov = np.asarray(mod_dyn.noise_rv.get_stats()[1])
+    r_cov = np.asarray(mod_obs.noise_rv.get_stats()[1])
+    G = np.asarray(mod_dyn.noise_gain)
+    Sq = G @ _psd_chol(q_cov)              # (D, dim_q) noise columns
+    Sr = _psd_chol(r_cov)                  # (E, E)
+    m0_np, P0_np = (np.asarray(a) for a in mod_dyn.init_rv.get_stats()[:2])
+    S0_np = _psd_chol(P0_np)
+    dim_y = r_cov.shape[0]
+
+    def cast(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    xi_d_, xi_o_, Sq_, Sr_ = cast(xi_d), cast(xi_o), cast(Sq), cast(Sr)
+    wm_d_, wm_o_ = cast(wm_d), cast(wm_o)
+    wc_o_ = cast(wc_o)
+    sqrt_pos_d = cast(np.sqrt(np.clip(wc_d, 0.0, None)))[None, :]
+    sqrt_pos_o = cast(np.sqrt(np.clip(wc_o, 0.0, None)))[None, :]
+
+    @jax.jit
+    def filter_fn(data, init_mean=None, init_sqrt=None):
+        m0 = cast(m0_np) if init_mean is None else cast(init_mean)
+        S0 = cast(S0_np) if init_sqrt is None else cast(init_sqrt)
+        data_ = cast(data)
+        n_steps = data_.shape[-1]
+
+        def step(carry, inp):
+            m, S = carry
+            y, k = inp
+            # --- square-root time update ---------------------------------
+            X = m[:, None] + small_matmul(S, xi_d_)
+            # model parameters may live in f64; pin the recursion's dtype
+            fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
+            m_pr = small_matmul(fX, wm_d_)
+            dfx = fX - m_pr[:, None]
+            S_pr = _sqrt_from_deviations(dfx, sqrt_pos_d, Sq_, wc_d, neg_d)
+            # --- square-root measurement update --------------------------
+            dX = small_matmul(S_pr, xi_o_)
+            Xp = m_pr[:, None] + dX
+            hX = apply_f_columns(mod_obs.meas_eval, Xp, k).astype(S.dtype)
+            y_pr = small_matmul(hX, wm_o_)
+            dhx = hX - y_pr[:, None]
+            S_yy = _sqrt_from_deviations(dhx, sqrt_pos_o, Sr_, wc_o, neg_o)
+            P_xy = small_matmul(dX * wc_o_[None, :], jnp.swapaxes(dhx, -1, -2))
+            # K = P_xy (S_yy S_yy^T)^-1 via two triangular substitutions
+            B = tri_solve_small(S_yy, jnp.swapaxes(P_xy, -1, -2), lower=True)
+            C = tri_solve_small(jnp.swapaxes(S_yy, -1, -2), B, lower=False)
+            K = jnp.swapaxes(C, -1, -2)
+            m_fi = m_pr + small_matmul(K, y - y_pr)
+            U = small_matmul(K, S_yy)
+            S_fi = S_pr
+            for j in range(dim_y):
+                S_fi = cholupdate_small(S_fi, U[..., :, j], -1.0)
+            return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi)
+
+        ks = jnp.arange(1, n_steps + 1)
+        _, (pr_m, pr_S, fi_m, fi_S) = jax.lax.scan(step, (m0, S0), (data_.T, ks))
+        return SqrtFilterResult(
+            fi_mean=jnp.moveaxis(fi_m, 0, -1),
+            fi_sqrt=jnp.moveaxis(fi_S, 0, -1),
+            pr_mean=jnp.moveaxis(pr_m, 0, -1),
+            pr_sqrt=jnp.moveaxis(pr_S, 0, -1),
+        )
+
+    return filter_fn
+
+
+class SquareRootKalman:
+    """Class-API square-root Kalman filter over a classical sigma-point rule.
+
+    ``SquareRootKalman(dyn, obs, points='ut')`` mirrors the constructor
+    conventions of the full-covariance filters (``ssinf.py:346-633``);
+    ``forward_pass`` returns ``(fi_mean, fi_cov)`` with ``fi_cov``
+    reconstituted as ``S S^T`` for drop-in comparison.  Pass
+    ``dtype=jnp.float32`` for the TPU fast path.
+    """
+
+    SUPPORTED_POINTS = ("sr", "ut", "gh", "fs")
+
+    @staticmethod
+    def _make_rule(points, dim, point_hyp):
+        hyp = dict(point_hyp or {})
+        if points == "sr":
+            return SphericalRadialTransform(dim)
+        if points == "ut":
+            return UnscentedTransform(dim, **hyp)
+        if points == "gh":
+            return GaussHermiteTransform(dim, **hyp)
+        if points == "fs":
+            return FullySymmetricStudentTransform(dim, **hyp)
+        raise ValueError(f"unsupported point set {points!r}; choose from "
+                         f"{SquareRootKalman.SUPPORTED_POINTS}")
+
+    def __init__(self, dyn, obs, points: str = "ut", point_hyp=None, dtype=None):
+        self.mod_dyn, self.mod_obs = dyn, obs
+        self.tf_dyn = self._make_rule(points, dyn.dim_in, point_hyp)
+        self.tf_obs = self._make_rule(points, obs.dim_in, point_hyp)
+        self._filter = make_sqrt_filter(dyn, obs, self.tf_dyn, self.tf_obs, dtype=dtype)
+        self._result = None
+
+    def forward_pass(self, data):
+        res = self._filter(jnp.asarray(data))
+        self._result = res
+        cov = jnp.einsum("ijn,kjn->ikn", res.fi_sqrt, res.fi_sqrt)
+        return res.fi_mean, cov
+
+    def forward_pass_batch(self, data_batch):
+        res = jax.vmap(self._filter)(jnp.asarray(data_batch))
+        self._result = res
+        cov = jnp.einsum("mijn,mkjn->mikn", res.fi_sqrt, res.fi_sqrt)
+        return res.fi_mean, cov
+
+    def reset(self):
+        self._result = None

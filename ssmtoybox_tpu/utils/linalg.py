@@ -25,8 +25,10 @@ __all__ = [
     "symmetrize",
     "ellipse_points",
     "chol_small",
+    "cholupdate_small",
     "cho_solve_small",
     "pd_solve_small",
+    "tri_solve_small",
     "small_matmul",
     "small_mm3",
 ]
@@ -169,6 +171,50 @@ def _solve_tri_small(L: jax.Array, b: jax.Array, lower: bool) -> jax.Array:
         xs[i] = s / L[..., i, i, None]
     out = jnp.stack(xs, axis=-2)
     return out[..., 0] if vec else out
+
+
+def tri_solve_small(L: jax.Array, b: jax.Array, lower: bool = True) -> jax.Array:
+    """Unrolled batched triangular solve ``L x = b`` for small static dims.
+
+    ``b`` is (..., D) or (..., D, K).  Same motivation as :func:`chol_small`:
+    substitution as D(D+1)/2 elementwise ops beats XLA's generic (and on TPU
+    f64, unavailable) TriangularSolve for the filter-sized systems.
+    """
+    return _solve_tri_small(L, b, lower)
+
+
+def cholupdate_small(L: jax.Array, v: jax.Array, w) -> jax.Array:
+    """Rank-1 Cholesky update: the lower factor of ``L L^T + w v v^T``.
+
+    ``w`` is a (possibly traced) scalar of either sign — the classic
+    hyperbolic-rotation update/downdate with the sign folded in, fully
+    unrolled like :func:`chol_small` so it batches elementwise.  ``w = 0`` is
+    an exact no-op.  Used by the square-root filters for negative
+    sigma-point weights and for the measurement-update downdate.  No
+    reference counterpart (the reference keeps full covariances).
+    """
+    d = L.shape[-1]
+    w = jnp.asarray(w, dtype=L.dtype)
+    sgn = jnp.sign(w)
+    root = jnp.sqrt(jnp.abs(w))
+    u = [root * v[..., k] for k in range(d)]
+    Lc = [[L[..., i, k] for k in range(i + 1)] for i in range(d)]
+    out = [[None] * (i + 1) for i in range(d)]
+    for k in range(d):
+        Lkk = Lc[k][k]
+        r = jnp.sqrt(Lkk * Lkk + sgn * u[k] * u[k])
+        c = r / Lkk
+        s = u[k] / Lkk
+        out[k][k] = r
+        for i in range(k + 1, d):
+            Lik = (Lc[i][k] + sgn * s * u[i]) / c
+            out[i][k] = Lik
+            u[i] = c * u[i] - s * Lik
+            Lc[i][k] = Lik
+    zero = jnp.zeros_like(L[..., 0, 0])
+    rows = [jnp.stack([out[i][j] if j <= i else zero for j in range(d)], axis=-1)
+            for i in range(d)]
+    return jnp.stack(rows, axis=-2)
 
 
 def cho_solve_small(L: jax.Array, b: jax.Array) -> jax.Array:

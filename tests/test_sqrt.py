@@ -1,0 +1,135 @@
+"""Square-root filtering: factor-form parity with the full-covariance
+filters in f64, PD-by-construction stability in f32, and the unrolled
+rank-1 Cholesky update/solve kernels."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu.sqrt import make_sqrt_filter, SquareRootKalman
+from ssmtoybox_tpu.ssmod import (
+    UNGMTransition, UNGMMeasurement, UNGMNATransition, UNGMNAMeasurement,
+    ReentryVehicle2DTransition, Radar2DMeasurement)
+from ssmtoybox_tpu.utils import GaussRV
+from ssmtoybox_tpu.utils.linalg import cholupdate_small, tri_solve_small
+
+
+class TestSmallKernels:
+    def test_cholupdate_small(self):
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(5, 5))
+        P = A @ A.T + 5 * np.eye(5)
+        L = np.linalg.cholesky(P)
+        v = rng.normal(size=5)
+        for w in (0.7, -0.2, 0.0):
+            got = np.asarray(cholupdate_small(jnp.asarray(L), jnp.asarray(v), w))
+            want = np.linalg.cholesky(P + w * np.outer(v, v))
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_cholupdate_small_batched(self):
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(7, 3, 3))
+        P = A @ np.swapaxes(A, -1, -2) + 3 * np.eye(3)
+        L = np.linalg.cholesky(P)
+        v = rng.normal(size=(7, 3))
+        got = np.asarray(cholupdate_small(jnp.asarray(L), jnp.asarray(v), 0.5))
+        want = np.linalg.cholesky(P + 0.5 * v[:, :, None] * v[:, None, :])
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_tri_solve_small(self):
+        rng = np.random.default_rng(2)
+        L = np.tril(rng.normal(size=(4, 4))) + 4 * np.eye(4)
+        B = rng.normal(size=(4, 2))
+        got = np.asarray(tri_solve_small(jnp.asarray(L), jnp.asarray(B), lower=True))
+        np.testing.assert_allclose(L @ got, B, atol=1e-12)
+        U = L.T
+        got = np.asarray(tri_solve_small(jnp.asarray(U), jnp.asarray(B), lower=False))
+        np.testing.assert_allclose(U @ got, B, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def ungm():
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=100, mc_sims=4)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+    return dyn, obs, x, y
+
+
+@pytest.fixture(scope="module")
+def reentry():
+    dyn = ReentryVehicle2DTransition.create(
+        GaussRV.create(5, mean=jnp.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                       cov=jnp.diag(jnp.array([1e-6, 1e-6, 1e-6, 1e-6, 1.0]))),
+        GaussRV.create(3, cov=jnp.diag(jnp.array([2.4064e-5, 2.4064e-5, 1e-6]))), dt=0.1)
+    obs = Radar2DMeasurement.create(
+        GaussRV.create(2, cov=jnp.diag(jnp.array([1e-6, 0.17e-6]))), dim_state=5)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=100, mc_sims=1)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+    return dyn, obs, x, y
+
+
+class TestSqrtParity:
+    def test_srukf_matches_ukf_ungm(self, ungm):
+        dyn, obs, x, y = ungm
+        fm, fc = st.UnscentedKalman(dyn, obs).forward_pass(y[..., 0])
+        sm, sc = SquareRootKalman(dyn, obs, points="ut").forward_pass(y[..., 0])
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(fm), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(fc), atol=1e-10)
+
+    def test_srckf_matches_ckf_reentry(self, reentry):
+        """5D state — the UT here has negative mean weights, and the factor
+        recursion must still reproduce the full-covariance answer."""
+        dyn, obs, x, y = reentry
+        for pts, full in [("sr", st.CubatureKalman(dyn, obs)),
+                          ("ut", st.UnscentedKalman(dyn, obs))]:
+            fm, fc = full.forward_pass(y[..., 0])
+            sm, sc = SquareRootKalman(dyn, obs, points=pts).forward_pass(y[..., 0])
+            np.testing.assert_allclose(np.asarray(sm), np.asarray(fm), rtol=1e-8,
+                                       atol=1e-10, err_msg=pts)
+            scale = np.abs(np.asarray(fc)).max()
+            np.testing.assert_allclose(np.asarray(sc) / scale, np.asarray(fc) / scale,
+                                       atol=1e-10, err_msg=pts)
+
+    def test_batch_matches_single(self, ungm):
+        dyn, obs, x, y = ungm
+        srf = SquareRootKalman(dyn, obs, points="ut")
+        bm, bc = srf.forward_pass_batch(jnp.moveaxis(y, -1, 0))
+        sm, sc = srf.forward_pass(y[..., 0])
+        np.testing.assert_allclose(np.asarray(bm[0]), np.asarray(sm), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(bc[0]), np.asarray(sc), atol=1e-12)
+
+    def test_f32_stays_pd_and_tracks_f64(self, reentry):
+        dyn, obs, x, y = reentry
+        sr32 = SquareRootKalman(dyn, obs, points="sr", dtype=jnp.float32)
+        m32, _ = sr32.forward_pass(y[..., 0])
+        assert m32.dtype == jnp.float32
+        d = np.asarray(sr32._result.fi_sqrt)
+        diags = d[np.arange(5), np.arange(5), :]
+        assert np.isfinite(np.asarray(m32)).all()
+        assert (diags > 0).all(), "factor lost positive-definiteness in f32"
+        fm, _ = st.CubatureKalman(dyn, obs).forward_pass(y[..., 0])
+        rel = np.abs(np.asarray(m32) - np.asarray(fm)).max() / np.abs(np.asarray(fm)).max()
+        assert rel < 1e-2
+
+
+class TestSqrtValidation:
+    def test_rejects_bq_transform(self, ungm):
+        dyn, obs, _, _ = ungm
+        from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+        gpt = GaussianProcessTransform.create(1, 1, np.array([[1.0, 3.0]]), point_str="ut")
+        with pytest.raises(TypeError, match="full-covariance"):
+            make_sqrt_filter(dyn, obs, gpt, gpt)
+
+    def test_rejects_nonadditive(self):
+        dyn = UNGMNATransition.create(GaussRV.create(1, cov=1.0),
+                                      GaussRV.create(1, cov=10.0))
+        obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+        with pytest.raises(NotImplementedError, match="additive"):
+            SquareRootKalman(dyn, obs)
+
+    def test_rejects_bad_points(self, ungm):
+        dyn, obs, _, _ = ungm
+        with pytest.raises(ValueError, match="unsupported point set"):
+            SquareRootKalman(dyn, obs, points="bogus")
