@@ -32,7 +32,8 @@ from .mtran import (SigmaPointTransform, apply_f_columns, SphericalRadialTransfo
                     FullySymmetricStudentTransform)
 from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small)
 
-__all__ = ["SqrtFilterResult", "make_sqrt_filter", "SquareRootKalman"]
+__all__ = ["SqrtFilterResult", "make_sqrt_filter", "SquareRootKalman",
+           "SqrtOnlineState", "SqrtStepInfo", "make_online_sqrt_filter"]
 
 
 class SqrtFilterResult(struct.PyTreeNode):
@@ -99,14 +100,12 @@ def _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg_idx):
     return S
 
 
-def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
-    """Build a jitted square-root Gaussian filter for additive-noise models.
+def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
+    """Validate the configuration and build the shared square-root step core.
 
-    Returns ``filter_fn(data, init_mean=None, init_sqrt=None) ->
-    SqrtFilterResult`` over a (dim_y, N) record; vmap it for MC batches.
-    ``dtype`` casts the whole recursion (e.g. ``jnp.float32`` for the TPU
-    fast path) — the factor form keeps f32 stable where the plain recursion
-    needs f64.
+    Returns ``(step_core, cast, m0, S0, dim_y)`` where ``step_core(m, S, y,
+    k) -> (m_pr, S_pr, y_pr, S_yy, m_fi, S_fi)`` performs one factor-form
+    predict+update.
     """
     if not (mod_dyn.noise_additive and mod_obs.noise_additive):
         raise NotImplementedError(
@@ -134,6 +133,48 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     sqrt_pos_d = cast(np.sqrt(np.clip(wc_d, 0.0, None)))[None, :]
     sqrt_pos_o = cast(np.sqrt(np.clip(wc_o, 0.0, None)))[None, :]
 
+    def step_core(m, S, y, k):
+        # --- square-root time update -------------------------------------
+        X = m[:, None] + small_matmul(S, xi_d_)
+        # model parameters may live in f64; pin the recursion's dtype
+        fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
+        m_pr = small_matmul(fX, wm_d_)
+        dfx = fX - m_pr[:, None]
+        S_pr = _sqrt_from_deviations(dfx, sqrt_pos_d, Sq_, wc_d, neg_d)
+        # --- square-root measurement update ------------------------------
+        dX = small_matmul(S_pr, xi_o_)
+        Xp = m_pr[:, None] + dX
+        hX = apply_f_columns(mod_obs.meas_eval, Xp, k).astype(S.dtype)
+        y_pr = small_matmul(hX, wm_o_)
+        dhx = hX - y_pr[:, None]
+        S_yy = _sqrt_from_deviations(dhx, sqrt_pos_o, Sr_, wc_o, neg_o)
+        P_xy = small_matmul(dX * wc_o_[None, :], jnp.swapaxes(dhx, -1, -2))
+        # K = P_xy (S_yy S_yy^T)^-1 via two triangular substitutions
+        B = tri_solve_small(S_yy, jnp.swapaxes(P_xy, -1, -2), lower=True)
+        C = tri_solve_small(jnp.swapaxes(S_yy, -1, -2), B, lower=False)
+        K = jnp.swapaxes(C, -1, -2)
+        m_fi = m_pr + small_matmul(K, y - y_pr)
+        U = small_matmul(K, S_yy)
+        S_fi = S_pr
+        for j in range(dim_y):
+            S_fi = cholupdate_small(S_fi, U[..., :, j], -1.0)
+        return m_pr, S_pr, y_pr, S_yy, m_fi, S_fi
+
+    return step_core, cast, m0_np, S0_np, dim_y
+
+
+def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
+    """Build a jitted square-root Gaussian filter for additive-noise models.
+
+    Returns ``filter_fn(data, init_mean=None, init_sqrt=None) ->
+    SqrtFilterResult`` over a (dim_y, N) record; vmap it for MC batches.
+    ``dtype`` casts the whole recursion (e.g. ``jnp.float32`` for the TPU
+    fast path) — the factor form keeps f32 stable where the plain recursion
+    needs f64.
+    """
+    step_core, cast, m0_np, S0_np, _ = _sqrt_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+
     @jax.jit
     def filter_fn(data, init_mean=None, init_sqrt=None):
         m0 = cast(m0_np) if init_mean is None else cast(init_mean)
@@ -144,30 +185,7 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         def step(carry, inp):
             m, S = carry
             y, k = inp
-            # --- square-root time update ---------------------------------
-            X = m[:, None] + small_matmul(S, xi_d_)
-            # model parameters may live in f64; pin the recursion's dtype
-            fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
-            m_pr = small_matmul(fX, wm_d_)
-            dfx = fX - m_pr[:, None]
-            S_pr = _sqrt_from_deviations(dfx, sqrt_pos_d, Sq_, wc_d, neg_d)
-            # --- square-root measurement update --------------------------
-            dX = small_matmul(S_pr, xi_o_)
-            Xp = m_pr[:, None] + dX
-            hX = apply_f_columns(mod_obs.meas_eval, Xp, k).astype(S.dtype)
-            y_pr = small_matmul(hX, wm_o_)
-            dhx = hX - y_pr[:, None]
-            S_yy = _sqrt_from_deviations(dhx, sqrt_pos_o, Sr_, wc_o, neg_o)
-            P_xy = small_matmul(dX * wc_o_[None, :], jnp.swapaxes(dhx, -1, -2))
-            # K = P_xy (S_yy S_yy^T)^-1 via two triangular substitutions
-            B = tri_solve_small(S_yy, jnp.swapaxes(P_xy, -1, -2), lower=True)
-            C = tri_solve_small(jnp.swapaxes(S_yy, -1, -2), B, lower=False)
-            K = jnp.swapaxes(C, -1, -2)
-            m_fi = m_pr + small_matmul(K, y - y_pr)
-            U = small_matmul(K, S_yy)
-            S_fi = S_pr
-            for j in range(dim_y):
-                S_fi = cholupdate_small(S_fi, U[..., :, j], -1.0)
+            m_pr, S_pr, _, _, m_fi, S_fi = step_core(m, S, y, k)
             return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi)
 
         ks = jnp.arange(1, n_steps + 1)
@@ -180,6 +198,75 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         )
 
     return filter_fn
+
+
+class SqrtOnlineState(struct.PyTreeNode):
+    """Streaming square-root carry: mean, lower factor, 1-based step index."""
+
+    mean: jax.Array          # (D,) or (B, D)
+    sqrt: jax.Array          # (D, D) or (B, D, D)
+    step: jax.Array          # scalar or (B,) int
+
+
+class SqrtStepInfo(struct.PyTreeNode):
+    """Per-step serving diagnostics in factor form (``innov_sqrt`` is the
+    lower factor of the innovation covariance — NIS gating is two triangular
+    substitutions away)."""
+
+    y_pred: jax.Array
+    innov: jax.Array
+    innov_sqrt: jax.Array
+
+
+def make_online_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = False,
+                            donate: bool = True, dtype=None):
+    """Streaming square-root filtering — the f32 serving configuration.
+
+    The factor-form analogue of :func:`~ssmtoybox_tpu.online.make_online_filter`:
+    ``init(batch_size=None) -> SqrtOnlineState`` and ``step(state, y,
+    observed=True) -> (SqrtOnlineState, SqrtStepInfo)`` with donated state
+    buffers, an optional multi-target batch axis and dropout handling.  With
+    ``dtype=jnp.float32`` the served state is half the bytes of the full-
+    covariance f64 path and stays PD by construction.
+    """
+    step_core, cast, m0_np, S0_np, _ = _sqrt_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+
+    def init(batch_size=None) -> SqrtOnlineState:
+        m0, S0 = cast(m0_np), cast(S0_np)
+        # fresh copies: the state is donated to the jitted step
+        if batch and batch_size is not None:
+            return SqrtOnlineState(
+                mean=jnp.array(jnp.broadcast_to(m0, (batch_size,) + m0.shape), copy=True),
+                sqrt=jnp.array(jnp.broadcast_to(S0, (batch_size,) + S0.shape), copy=True),
+                step=jnp.ones((batch_size,), jnp.int32),
+            )
+        return SqrtOnlineState(mean=jnp.array(m0, copy=True),
+                               sqrt=jnp.array(S0, copy=True),
+                               step=jnp.asarray(1, jnp.int32))
+
+    def _one(state: SqrtOnlineState, y, observed):
+        m_pr, S_pr, y_pr, S_yy, m_fi, S_fi = step_core(
+            state.mean, state.sqrt, y, state.step)
+        m_new = jnp.where(observed, m_fi, m_pr)
+        S_new = jnp.where(observed, S_fi, S_pr)
+        info = SqrtStepInfo(y_pred=y_pr, innov=y - y_pr, innov_sqrt=S_yy)
+        return SqrtOnlineState(mean=m_new, sqrt=S_new, step=state.step + 1), info
+
+    inner = jax.vmap(_one, in_axes=(0, 0, 0)) if batch else _one
+
+    def step_fn(state, y, observed):
+        observed = jnp.asarray(observed, bool)
+        if batch and observed.ndim == 0:
+            observed = jnp.broadcast_to(observed, (y.shape[0],))
+        return inner(state, y, observed)
+
+    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step_api(state, y, observed=True):
+        return step(state, cast(y), observed)
+
+    return init, step_api
 
 
 class SquareRootKalman:

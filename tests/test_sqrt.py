@@ -114,6 +114,52 @@ class TestSqrtParity:
         assert rel < 1e-2
 
 
+class TestOnlineSqrt:
+    def test_streaming_matches_offline(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_online_sqrt_filter
+        dyn, obs, x, y = ungm
+        srf = SquareRootKalman(dyn, obs, points="ut")
+        off = srf._filter(y[..., 0])
+        init, step = make_online_sqrt_filter(dyn, obs, srf.tf_dyn, srf.tf_obs,
+                                             donate=False)
+        rec = y[..., 0]
+        state = init()
+        for k in range(20):
+            state, info = step(state, rec[:, k])
+            np.testing.assert_allclose(np.asarray(state.mean),
+                                       np.asarray(off.fi_mean[:, k]), atol=1e-10)
+            np.testing.assert_allclose(np.asarray(state.sqrt),
+                                       np.asarray(off.fi_sqrt[..., k]), atol=1e-10)
+        assert np.isfinite(np.asarray(info.innov_sqrt)).all()
+
+    def test_dropout_keeps_prediction(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_online_sqrt_filter
+        dyn, obs, _, y = ungm
+        srf = SquareRootKalman(dyn, obs, points="ut")
+        init, step = make_online_sqrt_filter(dyn, obs, srf.tf_dyn, srf.tf_obs,
+                                             donate=False)
+        state, info = step(init(), y[:, 0, 0], observed=False)  # y[:, 0, 0] == y[..., 0][:, 0]
+        off = srf._filter(y[..., 0])
+        np.testing.assert_allclose(np.asarray(state.mean),
+                                   np.asarray(off.pr_mean[:, 0]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(state.sqrt),
+                                   np.asarray(off.pr_sqrt[..., 0]), atol=1e-12)
+
+    def test_batched_donated_serving(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_online_sqrt_filter
+        dyn, obs, _, y = ungm
+        srf = SquareRootKalman(dyn, obs, points="ut")
+        init, step = make_online_sqrt_filter(dyn, obs, srf.tf_dyn, srf.tf_obs,
+                                             batch=True, donate=True,
+                                             dtype=jnp.float32)
+        state = init(batch_size=4)
+        yb = jnp.moveaxis(y, -1, 0)
+        for k in range(5):
+            state, info = step(state, yb[:, :, k])
+        assert state.mean.shape == (4, 1) and state.mean.dtype == jnp.float32
+        assert np.isfinite(np.asarray(state.mean)).all()
+
+
 class TestSqrtValidation:
     def test_rejects_bq_transform(self, ungm):
         dyn, obs, _, _ = ungm
