@@ -447,6 +447,27 @@ def test_gpqd_transform_parity(goldens):
     assert_close(ccf, g["gpqd_ccf"], "gpqd ccov")
 
 
+def test_marginal_inference_study_parity(goldens):
+    """Parameter-marginalized GPQ filtering (``ssinf.py:1102-1270``).
+
+    Exact moment parity is unattainable: the reference's inner BFGS uses
+    finite-difference gradients and its BFGS-estimated inverse Hessian as the
+    Laplace covariance, while ours differentiates the same objective exactly.
+    The study-level check: same data, same prior ⇒ comparable RMSE (within
+    25%) and finite PD filtered covariances.
+    """
+    g = goldens["marginal_ungm"]
+    dyn, obs = _ungm_models()
+    f = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs, points="ut")
+    fm, fP = f.forward_pass(jnp.asarray(g["y"]))
+    fm, fP = np.asarray(fm), np.asarray(fP)
+    assert np.isfinite(fm).all() and np.isfinite(fP).all()
+    assert (fP[0, 0, :] > 0).all()
+    rmse = float(np.sqrt(np.mean((fm - g["x"]) ** 2)))
+    ref_rmse = float(g["rmse"][0])
+    assert rmse < 1.25 * ref_rmse, (rmse, ref_rmse)
+
+
 # ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------

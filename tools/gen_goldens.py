@@ -502,9 +502,36 @@ def scenario_h3():
     print("transforms2.npz done")
 
 
+def scenario_j():
+    """Scenario J: parameter-marginalized GPQ filtering on UNGM
+    (``ssinf.py:1102-1270``).  The reference's inner BFGS uses finite-
+    difference gradients and its BFGS-estimated inverse Hessian, so exact
+    moment parity is unattainable (ours differentiates the same objective
+    exactly); the golden records the reference's filtered moments and RMSE
+    for a STUDY-LEVEL comparison (comparable RMSE, finite PD moments)."""
+    from ssmtoybox.ssmod import UNGMTransition, UNGMMeasurement
+    from ssmtoybox.utils import GaussRV
+    from ssmtoybox.ssinf import MarginalizedGaussianProcessKalman
+
+    np.random.seed(0)
+    dyn = UNGMTransition(GaussRV(1, cov=1.0), GaussRV(1, cov=10.0))
+    obs = UNGMMeasurement(GaussRV(1, cov=1.0), 1)
+    x = dyn.simulate_discrete(20, mc_sims=1)
+    y = obs.simulate_measurements(x)
+    f = MarginalizedGaussianProcessKalman(dyn, obs, points="ut")
+    fm, fP = f.forward_pass(y[..., 0])
+    np.savez(os.path.join(OUT, "marginal_ungm.npz"),
+             x=x[..., 0], y=y[..., 0], fi_mean=fm, fi_cov=fP,
+             rmse=np.atleast_1d(np.sqrt(np.mean((fm - x[:, :, 0]) ** 2))))
+    print("marginal_ungm.npz done")
+
+
 if __name__ == "__main__":
     if sys.argv[1:] == ["h3"]:
         scenario_h3()
+    elif sys.argv[1:] == ["j"]:
+        scenario_j()
     else:
         main()
         scenario_h3()
+        scenario_j()
