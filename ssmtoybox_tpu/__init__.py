@@ -27,7 +27,8 @@ from .mtran import (
     SphericalRadialTransform, UnscentedTransform, GaussHermiteTransform,
     FullySymmetricStudentTransform, TaylorGPQDTransform,
 )
-from .sqrt import SquareRootKalman, make_sqrt_filter, SqrtFilterResult
+from .sqrt import (SquareRootKalman, make_sqrt_filter, make_sqrt_smoother,
+                   SqrtFilterResult)
 from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
@@ -45,5 +46,5 @@ __all__ = [
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
     "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
-    "SquareRootKalman", "make_sqrt_filter", "SqrtFilterResult",
+    "SquareRootKalman", "make_sqrt_filter", "make_sqrt_smoother", "SqrtFilterResult",
 ]

