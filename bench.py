@@ -34,6 +34,13 @@ BASE_MC_UNGM = 20       # trajectories timed for the NumPy baseline
 BASE_MC_REENTRY = 5
 
 
+def _timed(thunk):
+    """Wall-clock one invocation (completion forced inside the thunk)."""
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
 def tpu_run():
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -60,10 +67,9 @@ def tpu_run():
     # reduction — block_until_ready can return early through the TPU tunnel
     out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
     float(jnp.sum(out))
-    t0 = time.perf_counter()
+    t_ungm = min(_timed(lambda: float(jnp.sum(
+        run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)))) for _ in range(3))
     out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
-    float(jnp.sum(out))
-    t_ungm = time.perf_counter() - t0
     rmse_ungm = float(jnp.sqrt(jnp.mean((jnp.moveaxis(x, -1, 0) - out) ** 2)))
     log(f"UNGM UKF {MC_RUNS}x{UNGM_STEPS} f64: {t_ungm:.3f}s (RMSE {rmse_ungm:.3f})")
 
@@ -84,10 +90,8 @@ def tpu_run():
         lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
     out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
     float(jnp.sum(out_re))
-    t0 = time.perf_counter()
-    out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
-    float(jnp.sum(out_re))
-    t_re = time.perf_counter() - t0
+    t_re = min(_timed(lambda: float(jnp.sum(
+        run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)))) for _ in range(3))
     log(f"Reentry UKF {MC_RUNS}x{REENTRY_STEPS} f64: {t_re:.3f}s")
 
     # ---------------- info-only: BQ filter on the same UNGM study ----------
@@ -133,11 +137,12 @@ def baseline_reference(y_ungm, y_reentry):
     dyn = UNGMTransition(GaussRV(1, cov=np.atleast_2d(5.0)), GaussRV(1, cov=np.atleast_2d(10.0)))
     obs = UNGMMeasurement(GaussRV(1, cov=np.atleast_2d(1.0)), 1)
     ukf = UnscentedKalman(dyn, obs)
-    t0 = time.perf_counter()
-    for s in range(y_ungm.shape[-1]):
-        ukf.forward_pass(y_ungm[..., s])
-        ukf.reset()
-    t_base_ungm = (time.perf_counter() - t0) * (MC_RUNS / y_ungm.shape[-1])
+
+    def loop_ungm():
+        for s in range(y_ungm.shape[-1]):
+            ukf.forward_pass(y_ungm[..., s])
+            ukf.reset()
+    t_base_ungm = min(_timed(loop_ungm) for _ in range(3)) * (MC_RUNS / y_ungm.shape[-1])
 
     dyn_re = ReentryVehicle2DTransition(
         GaussRV(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
@@ -146,11 +151,12 @@ def baseline_reference(y_ungm, y_reentry):
     obs_re = Radar2DMeasurement(GaussRV(2, cov=np.diag([1e-3, 1e-5])), 5,
                                 state_index=[0, 1], radar_loc=np.array([6374.0, 0.0]))
     ukf_re = UnscentedKalman(dyn_re, obs_re)
-    t0 = time.perf_counter()
-    for s in range(y_reentry.shape[-1]):
-        ukf_re.forward_pass(y_reentry[..., s])
-        ukf_re.reset()
-    t_base_re = (time.perf_counter() - t0) * (MC_RUNS / y_reentry.shape[-1])
+
+    def loop_re():
+        for s in range(y_reentry.shape[-1]):
+            ukf_re.forward_pass(y_reentry[..., s])
+            ukf_re.reset()
+    t_base_re = min(_timed(loop_re) for _ in range(3)) * (MC_RUNS / y_reentry.shape[-1])
     return t_base_ungm + t_base_re
 
 
