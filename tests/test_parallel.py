@@ -71,6 +71,30 @@ def test_graft_entry_points():
     g.dryrun_multichip(8)
 
 
+def test_sqrt_filter_sharded(setup):
+    """The f32 square-root serving path runs sharded over the dp axis: 16
+    trajectories on an 8-device mesh, factors PD on every shard."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ssmtoybox_tpu.sqrt import make_sqrt_filter
+    import ssmtoybox_tpu as st
+    dyn, obs, x, y = setup
+    mesh = make_mesh(dp=8, fb=1)
+    tf = st.UnscentedTransform(1)
+    f = jax.jit(jax.vmap(make_sqrt_filter(dyn, obs, tf, tf, dtype=jnp.float32)))
+    batch = jax.device_put(jnp.moveaxis(y, -1, 0),
+                           NamedSharding(mesh, P("dp", None, None)))
+    out = f(batch)
+    assert out.fi_mean.dtype == jnp.float32
+    assert "dp" in str(out.fi_mean.sharding.spec) or out.fi_mean.sharding.is_fully_replicated is False
+    diag = np.asarray(out.fi_sqrt)[:, 0, 0, :]
+    assert np.isfinite(np.asarray(out.fi_mean)).all() and (diag > 0).all()
+    # agrees with the unsharded run
+    local = jax.vmap(make_sqrt_filter(dyn, obs, tf, tf, dtype=jnp.float32))(
+        jnp.moveaxis(y, -1, 0))
+    np.testing.assert_allclose(np.asarray(out.fi_mean), np.asarray(local.fi_mean),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_filter_bank_sharded(setup):
     """A bank of kernel-parameter variants runs as one (dp, fb) SPMD program
     and matches per-member unsharded runs."""
