@@ -2,9 +2,13 @@
 from .mesh import make_mesh, shard_mc, filter_mc_sharded, filter_bank_sharded, mc_metrics_sharded
 from .fit import nlml_loss, make_fit_step, fit_kernel_params
 from .timescan import parallel_linear_filter, parallel_linear_smoother
+from .iplf import (slr_affine, parallel_affine_filter, parallel_affine_smoother,
+                   IteratedSmootherResult, iterated_parallel_smoother)
 
 __all__ = [
     "make_mesh", "shard_mc", "filter_mc_sharded", "filter_bank_sharded", "mc_metrics_sharded",
     "nlml_loss", "make_fit_step", "fit_kernel_params",
     "parallel_linear_filter", "parallel_linear_smoother",
+    "slr_affine", "parallel_affine_filter", "parallel_affine_smoother",
+    "IteratedSmootherResult", "iterated_parallel_smoother",
 ]

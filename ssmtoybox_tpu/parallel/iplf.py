@@ -1,0 +1,254 @@
+"""Time-parallel iterated NONLINEAR filtering/smoothing (SLR + associative scan).
+
+Extends :mod:`ssmtoybox_tpu.parallel.timescan` from linear-Gaussian models to
+the full nonlinear SSM zoo.  The reference (SURVEY §5.7) scales the inherently
+sequential time recursion only by looping (``ssinf.py:101-111``); this module
+removes the sequential-time bottleneck for nonlinear additive-noise models:
+
+1. **Statistical linear regression (SLR).**  Any sigma-point moment transform
+   applied to ``f`` about ``N(m, P)`` yields ``(mu, S, C)``; the best affine
+   fit is ``A = C^T P^-1``, ``b = mu - A m`` with residual covariance
+   ``Omega = S - A P A^T``.  This is exactly the "enabling approximation"
+   hidden inside every sigma-point Kalman filter, made explicit.
+2. **Time-varying affine Kalman recursions as associative scans** (the
+   Särkkä & García-Fernández, IEEE TAC 2021, elements of ``timescan.py``,
+   generalized to per-step affine models ``x_k = F_k x_{k-1} + b_k + q_k``,
+   ``y_k = H_k x_k + c_k + r_k``) — O(log N) parallel depth on the time axis.
+3. **Posterior-linearization iteration** (García-Fernández, Svensson, Särkkä,
+   "Iterated posterior linearization smoother", IEEE TAC 2017; temporal
+   parallelization in Yaghoobi et al., IEEE TSP 2022): linearize about the
+   current smoothed marginals, re-run the affine filter+smoother, repeat.
+
+One iteration from the prior linearization is already a valid sigma-point
+filter; at the fixed point the estimates solve the same posterior-linearization
+conditions as the sequential iterated smoother.  For an exactly linear model,
+SLR recovers the model itself, so one iteration reproduces the sequential
+Kalman filter/RTS smoother to rounding — the crispest correctness check
+(``tests/test_iplf.py``).
+
+TPU notes: all per-step work is batched ``vmap`` over the time axis (big,
+regular, MXU/VPU-friendly); the only cross-step coupling is the
+``associative_scan`` combine, whose tiny matrix products route through the
+unrolled ``small_matmul`` kernels (f64 TPU gap, see ``utils/linalg.py``).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ssinf import _tf_apply
+from ..utils.linalg import pd_solve_small, small_matmul, small_mm3, symmetrize
+from .timescan import _combine_filter, _combine_smoother
+
+__all__ = [
+    "slr_affine",
+    "parallel_affine_filter",
+    "parallel_affine_smoother",
+    "IteratedSmootherResult",
+    "iterated_parallel_smoother",
+]
+
+
+def slr_affine(tf, f, mean, cov, time, theta=None):
+    """Statistical linear regression of ``f`` about ``N(mean, cov)``.
+
+    Returns ``(A, b, Omega)`` such that ``f(x) ≈ A x + b + e`` with
+    ``e ~ N(0, Omega)`` — the moment-matched affine fit implied by the moment
+    transform ``tf`` (``mean_f``, ``cov_f``, ``cov_fx`` of ``mtran.py:14-46``).
+    """
+    mu, S, C = _tf_apply(tf, f, mean, cov, time, theta)
+    A = pd_solve_small(cov, C.T).T                     # (E, D)
+    b = mu - small_matmul(A, mean)
+    Omega = symmetrize(S - small_mm3(A, cov, A.T))
+    return A, b, Omega
+
+
+def _affine_filter_elements(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys):
+    """Per-step filtering elements for a time-varying affine model.
+
+    Same construction as ``timescan._filter_elements`` with the affine
+    offsets folded in: conditioned on ``x_{k-1}``, the posterior of ``x_k``
+    given ``y_k`` is ``N((I-KH)F x + b + K(y - c - H b), (I-KH)Q)``.
+    """
+    d = m0.shape[0]
+    eye = jnp.eye(d, dtype=m0.dtype)
+
+    def generic(F, bd, Q, H, c, R, y):
+        yc = y - c - small_matmul(H, bd)
+        S = small_mm3(H, Q, H.T) + R
+        K = pd_solve_small(S, small_matmul(H, Q)).T
+        A = small_matmul(eye - small_matmul(K, H), F)
+        b = bd + small_matmul(K, yc)
+        C = symmetrize(Q - small_mm3(K, H, Q))
+        HF = small_matmul(H, F)
+        eta = small_matmul(HF.T, pd_solve_small(S, yc))
+        J = small_matmul(HF.T, pd_solve_small(S, HF))
+        return A, b, C, eta, J
+
+    A, b, C, eta, J = jax.vmap(generic)(Fs, bs, Qs, Hs, cs, Rs, ys)
+
+    # first element conditions on the prior pushed through step 1's model
+    m1 = small_matmul(Fs[0], m0) + bs[0]
+    P1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
+    S1 = small_mm3(Hs[0], P1, Hs[0].T) + Rs[0]
+    K1 = pd_solve_small(S1, small_matmul(Hs[0], P1)).T
+    b0 = m1 + small_matmul(K1, ys[0] - cs[0] - small_matmul(Hs[0], m1))
+    C0 = symmetrize(P1 - small_mm3(K1, Hs[0], P1))
+
+    A = A.at[0].set(jnp.zeros((d, d), dtype=m0.dtype))
+    b = b.at[0].set(b0)
+    C = C.at[0].set(C0)
+    eta = eta.at[0].set(jnp.zeros((d,), dtype=m0.dtype))
+    J = J.at[0].set(jnp.zeros((d, d), dtype=m0.dtype))
+    return A, b, C, eta, J
+
+
+def parallel_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, data) -> Tuple[jax.Array, jax.Array]:
+    """Kalman-filter a time-varying affine model in O(log N) parallel depth.
+
+    ``Fs (N,D,D), bs (N,D), Qs (N,D,D)`` define ``x_k = F_k x_{k-1} + b_k + q_k``
+    (element ``k`` predicts step ``k`` from ``k-1``); ``Hs (N,E,D), cs (N,E),
+    Rs (N,E,E)`` define ``y_k = H_k x_k + c_k + r_k``; ``data`` is (E, N).
+    Returns ``(fi_mean (D,N), fi_cov (D,D,N))`` — identical (to rounding) to
+    the sequential filter.
+    """
+    ys = jnp.asarray(data).T
+    elems = _affine_filter_elements(Fs, bs, Qs, Hs, cs, Rs,
+                                    jnp.asarray(m0), jnp.asarray(P0), ys)
+    A, b, C, eta, J = jax.lax.associative_scan(_combine_filter, elems)
+    return jnp.moveaxis(b, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(C), 0, -1)
+
+
+def parallel_affine_smoother(Fs, bs, Qs, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
+    """RTS-smooth the affine parallel filter output in O(log N) depth.
+
+    ``Fs/bs/Qs`` use the same indexing as :func:`parallel_affine_filter`
+    (element ``k`` maps step ``k-1`` to ``k``), so the smoothing element at
+    step ``k`` uses the dynamics into ``k+1``.
+    """
+    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
+    P = jnp.moveaxis(jnp.asarray(fi_cov), -1, 0)           # (N, D, D)
+
+    def element(F, bd, Q, mk, Pk):
+        Pp = symmetrize(small_mm3(F, Pk, F.T) + Q)
+        G = pd_solve_small(Pp, small_matmul(F, Pk)).T
+        g = mk - small_matmul(G, small_matmul(F, mk) + bd)
+        L = symmetrize(Pk - small_mm3(G, Pp, G.T))
+        return G, g, L
+
+    E, g, L = jax.vmap(element)(Fs[1:], bs[1:], Qs[1:], m[:-1], P[:-1])
+    E = jnp.concatenate([E, jnp.zeros_like(Fs[:1])], axis=0)
+    g = jnp.concatenate([g, m[-1:]], axis=0)
+    L = jnp.concatenate([L, P[-1:]], axis=0)
+
+    E_s, g_s, L_s = jax.lax.associative_scan(_combine_smoother, (E, g, L), reverse=True)
+    return jnp.moveaxis(g_s, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(L_s), 0, -1)
+
+
+class IteratedSmootherResult(struct.PyTreeNode):
+    """Final-iteration moments, reference layout (state first, time last)."""
+
+    fi_mean: jax.Array   # (D, N)   filtered
+    fi_cov: jax.Array    # (D, D, N)
+    sm_mean: jax.Array   # (D, N)   smoothed
+    sm_cov: jax.Array    # (D, D, N)
+
+
+def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
+                               iterations: int = 10,
+                               init_mean=None, init_cov=None,
+                               theta_dyn=None, theta_obs=None,
+                               init: str = "rollout") -> IteratedSmootherResult:
+    """Iterated posterior-linearization smoother with a time-parallel core.
+
+    Per iteration: SLR of the dynamics/measurement about the current smoothed
+    marginals (``vmap`` over the time axis — fully parallel), then one
+    time-parallel affine filter + smoother, iterating toward the IPLS fixed
+    point.
+
+    ``init`` selects the first linearization trajectory:
+
+    * ``"rollout"`` (default) — deterministic propagation of the prior mean
+      through the dynamics (a ``lax.scan`` of just ``f``: O(N) depth but a
+      few flops per step, negligible next to the scans).  Posterior
+      linearization only converges locally, and with a multimodal measurement
+      (e.g. the pendulum's ``sin``) pinning every linearization point at the
+      prior can lock long records onto a wrong branch; the rollout starts the
+      iteration inside the right basin.
+    * ``"prior"`` — all points at ``N(m0, P0)`` (fully parallel init; fine
+      for short records or mild nonlinearities).
+
+    Requires additive process and measurement noise (like the square-root
+    path, ``sqrt.py``); use the sequential :func:`ssmtoybox_tpu.ssinf.gaussian_filter`
+    for non-additive models.  Time conventions match the sequential filter:
+    step ``k`` (1-based) evaluates both models at ``time = k-1``
+    (``ssinf.py:276,287``).
+    """
+    if not (mod_dyn.noise_additive and mod_obs.noise_additive):
+        raise NotImplementedError(
+            "iterated_parallel_smoother requires additive-noise models; "
+            "use the sequential gaussian_filter for non-additive noise.")
+
+    m0, P0 = mod_dyn.init_rv.get_stats()[:2]
+    m0 = jnp.asarray(m0 if init_mean is None else init_mean)
+    P0 = jnp.asarray(P0 if init_cov is None else init_cov)
+    q_cov = mod_dyn.noise_rv.get_stats()[1]
+    r_cov = mod_obs.noise_rv.get_stats()[1]
+    G = mod_dyn.noise_gain
+    GQGt = small_mm3(G, q_cov, G.T)
+
+    data = jnp.asarray(data)
+    n_steps = data.shape[-1]
+    times = jnp.arange(n_steps, dtype=m0.dtype)            # k-1 for k = 1..N
+
+    def slr_dyn(m, P, t):
+        return slr_affine(tf_dyn, mod_dyn.dyn_eval, m, P, t, theta_dyn)
+
+    def slr_obs(m, P, t):
+        return slr_affine(tf_obs, mod_obs.meas_eval, m, P, t, theta_obs)
+
+    def one_pass(lin_m, lin_P):
+        # lin_m: (N+1, D) marginal means at times 0..N; lin_P: (N+1, D, D)
+        Fs, bds, Oms = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
+        Hs, cs, Gms = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
+        Qs = Oms + GQGt
+        Rs = Gms + r_cov
+        fi_m, fi_P = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
+        sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_P)
+
+        # smooth the prior-time state to refresh the step-0 linearization point
+        Pp1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
+        G0 = pd_solve_small(Pp1, small_matmul(Fs[0], P0)).T
+        m0_s = m0 + small_matmul(G0, sm_m[:, 0] - (small_matmul(Fs[0], m0) + bds[0]))
+        P0_s = symmetrize(P0 + small_mm3(G0, sm_P[:, :, 0] - Pp1, G0.T))
+
+        new_lin_m = jnp.concatenate([m0_s[None], sm_m.T], axis=0)
+        new_lin_P = jnp.concatenate([P0_s[None], jnp.moveaxis(sm_P, -1, 0)], axis=0)
+        return new_lin_m, new_lin_P, fi_m, fi_P, sm_m, sm_P
+
+    dim = m0.shape[0]
+    if init == "rollout":
+        def roll(m, t):
+            m_next = jnp.atleast_1d(mod_dyn.dyn_eval(m, t))
+            return m_next, m_next
+        _, rolled = jax.lax.scan(roll, m0, times)
+        lin_m = jnp.concatenate([m0[None], rolled], axis=0)
+    elif init == "prior":
+        lin_m = jnp.broadcast_to(m0, (n_steps + 1, dim))
+    else:
+        raise ValueError(f"init must be 'rollout' or 'prior'; got {init!r}")
+    lin_P = jnp.broadcast_to(P0, (n_steps + 1, dim, dim))
+    fi_m = jnp.zeros((dim, n_steps), dtype=m0.dtype)
+    fi_P = jnp.zeros((dim, dim, n_steps), dtype=m0.dtype)
+
+    def body(_, carry):
+        lin_m, lin_P, _, _, _, _ = carry
+        return one_pass(lin_m, lin_P)
+
+    carry = (lin_m, lin_P, fi_m, fi_P, fi_m, fi_P)
+    carry = jax.lax.fori_loop(0, iterations, body, carry)
+    _, _, fi_m, fi_P, sm_m, sm_P = carry
+    return IteratedSmootherResult(fi_mean=fi_m, fi_cov=fi_P, sm_mean=sm_m, sm_cov=sm_P)
