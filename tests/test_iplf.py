@@ -194,6 +194,46 @@ def test_pendulum_iterated_smoother():
     assert rmse(res.sm_mean) <= 1.05 * rmse(sm_seq)
 
 
+def test_long_record_observer_init():
+    """10k-step pendulum: the open-loop rollout init phase-drifts and the
+    iteration diverges to RMSE ~390 (constant-gain observer: ~194); the
+    default frozen-covariance-EKF observer init must stay in the right basin
+    (smoothed RMSE ~0.097, sequential RTS gives ~0.098)."""
+    dyn, obs, x_true, y = _pendulum_setup(steps=10_000)
+    tf = UnscentedTransform(2)
+    res = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2)
+    rmse = float(jnp.sqrt(jnp.mean((res.sm_mean - x_true) ** 2)))
+    assert rmse < 0.2, rmse
+
+
+class AngleMeasurement(MeasurementModel):
+    """Direct (unimodal) angle measurement — block-observer territory."""
+    dim_substate = 2
+    dim_out = 1
+    dim_noise = 1
+    noise_additive = True
+
+    def meas_fcn(self, x, r, time):
+        return jnp.atleast_1d(x[0]) + r
+
+
+def test_block_observer_matches_sequential_observer():
+    """With a unimodal measurement the block-parallel observer init (depth
+    block_len+warmup instead of N) must land in the same basin as the
+    sequential observer."""
+    dyn, _, x_true, _ = _pendulum_setup(steps=6000)
+    obs = AngleMeasurement.create(GaussRV.create(1, cov=0.1), dim_state=2)
+    y = obs.simulate_measurements(jax.random.PRNGKey(5), x_true[:, :, None])[..., 0]
+    tf = UnscentedTransform(2)
+    r_seq = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2,
+                                       init="observer")
+    r_blk = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2,
+                                       init="block-observer",
+                                       block_len=2048, warmup=512)
+    np.testing.assert_allclose(np.asarray(r_blk.sm_mean),
+                               np.asarray(r_seq.sm_mean), rtol=1e-4, atol=1e-4)
+
+
 def test_invalid_init_raises():
     dyn, obs, _, y = _pendulum_setup(steps=8)
     tf = UnscentedTransform(2)
