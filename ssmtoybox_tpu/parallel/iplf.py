@@ -3,7 +3,8 @@
 Extends :mod:`ssmtoybox_tpu.parallel.timescan` from linear-Gaussian models to
 the full nonlinear SSM zoo.  The reference (SURVEY §5.7) scales the inherently
 sequential time recursion only by looping (``ssinf.py:101-111``); this module
-removes the sequential-time bottleneck for nonlinear additive-noise models:
+removes the sequential-time bottleneck for nonlinear models (additive or
+augmented non-additive noise):
 
 1. **Statistical linear regression (SLR).**  Any sigma-point moment transform
    applied to ``f`` about ``N(m, P)`` yields ``(mu, S, C)``; the best affine
@@ -39,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+from jax.scipy.linalg import block_diag
 
 from ..ssinf import _tf_apply
 from ..utils.linalg import pd_solve_small, small_matmul, small_mm3, symmetrize
@@ -206,41 +208,54 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     * an array ``(N+1, D)`` of linearization means (times ``0..N``) — e.g.
       the output of any cheap external tracker.
 
-    Requires additive process and measurement noise (like the square-root
-    path, ``sqrt.py``); use the sequential :func:`ssmtoybox_tpu.ssinf.gaussian_filter`
-    for non-additive models.  Time conventions match the sequential filter:
-    step ``k`` (1-based) evaluates both models at ``time = k-1``
+    Non-additive noise is handled exactly like the sequential filter
+    (``ssinf.py:271-272``): the SLR runs over the augmented input
+    ``(x, q) ~ N((m, q_mean), blockdiag(P, Q))`` and the affine fit splits
+    into a state map and a noise map, ``f(x, q) ≈ F x + A_q q + b + e``, so
+    the effective affine model is ``F x + (b + A_q q_mean)`` with residual
+    covariance ``A_q Q A_qᵀ + Omega``.  Time conventions match the sequential
+    filter: step ``k`` (1-based) evaluates both models at ``time = k-1``
     (``ssinf.py:276,287``).
     """
-    if not (mod_dyn.noise_additive and mod_obs.noise_additive):
-        raise NotImplementedError(
-            "iterated_parallel_smoother requires additive-noise models; "
-            "use the sequential gaussian_filter for non-additive noise.")
-
     m0, P0 = mod_dyn.init_rv.get_stats()[:2]
     m0 = jnp.asarray(m0 if init_mean is None else init_mean)
     P0 = jnp.asarray(P0 if init_cov is None else init_cov)
-    q_cov = mod_dyn.noise_rv.get_stats()[1]
-    r_cov = mod_obs.noise_rv.get_stats()[1]
+    q_mean, q_cov = mod_dyn.noise_rv.get_stats()[:2]
+    r_mean, r_cov = mod_obs.noise_rv.get_stats()[:2]
     G = mod_dyn.noise_gain
     GQGt = small_mm3(G, q_cov, G.T)
+    dim = m0.shape[0]
 
     data = jnp.asarray(data)
     n_steps = data.shape[-1]
     times = jnp.arange(n_steps, dtype=m0.dtype)            # k-1 for k = 1..N
 
     def slr_dyn(m, P, t):
-        return slr_affine(tf_dyn, mod_dyn.dyn_eval, m, P, t, theta_dyn)
+        """SLR of the dynamics about N(m, P) -> (F, b, Q_eff)."""
+        if mod_dyn.noise_additive:
+            F, b, Om = slr_affine(tf_dyn, mod_dyn.dyn_eval, m, P, t, theta_dyn)
+            return F, b, Om + GQGt
+        A, b, Om = slr_affine(tf_dyn, mod_dyn.dyn_eval,
+                              jnp.concatenate([m, q_mean]),
+                              block_diag(P, q_cov), t, theta_dyn)
+        F, Aq = A[:, :dim], A[:, dim:]
+        return F, b + small_matmul(Aq, q_mean), Om + small_mm3(Aq, q_cov, Aq.T)
 
     def slr_obs(m, P, t):
-        return slr_affine(tf_obs, mod_obs.meas_eval, m, P, t, theta_obs)
+        """SLR of the measurement about N(m, P) -> (H, c, R_eff)."""
+        if mod_obs.noise_additive:
+            H, c, Gm = slr_affine(tf_obs, mod_obs.meas_eval, m, P, t, theta_obs)
+            return H, c, Gm + r_cov
+        A, c, Gm = slr_affine(tf_obs, mod_obs.meas_eval,
+                              jnp.concatenate([m, r_mean]),
+                              block_diag(P, r_cov), t, theta_obs)
+        H, Ar = A[:, :dim], A[:, dim:]
+        return H, c + small_matmul(Ar, r_mean), Gm + small_mm3(Ar, r_cov, Ar.T)
 
     def one_pass(lin_m, lin_P):
         # lin_m: (N+1, D) marginal means at times 0..N; lin_P: (N+1, D, D)
-        Fs, bds, Oms = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
-        Hs, cs, Gms = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
-        Qs = Oms + GQGt
-        Rs = Gms + r_cov
+        Fs, bds, Qs = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
+        Hs, cs, Rs = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
         fi_m, fi_P = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
         sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_P)
 
@@ -254,7 +269,18 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         new_lin_P = jnp.concatenate([P0_s[None], jnp.moveaxis(sm_P, -1, 0)], axis=0)
         return new_lin_m, new_lin_P, fi_m, fi_P, sm_m, sm_P
 
-    dim = m0.shape[0]
+    # mean-evaluation wrappers: non-additive models take augmented columns
+    if mod_dyn.noise_additive:
+        f_mean = lambda m, t: jnp.atleast_1d(mod_dyn.dyn_eval(m, t))
+    else:
+        f_mean = lambda m, t: jnp.atleast_1d(
+            mod_dyn.dyn_eval(jnp.concatenate([m, q_mean]), t))
+    if mod_obs.noise_additive:
+        h_mean = lambda x, t: jnp.atleast_1d(mod_obs.meas_eval(x, t))
+    else:
+        h_mean = lambda x, t: jnp.atleast_1d(
+            mod_obs.meas_eval(jnp.concatenate([x, r_mean]), t))
+
     if not isinstance(init, str):
         lin_m = jnp.asarray(init, dtype=m0.dtype)
         if lin_m.shape != (n_steps + 1, dim):
@@ -266,9 +292,8 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         # freeze the covariance (Riccati at the prior SLR) and recompute only
         # the GAIN from the local measurement Jacobian each step — constant
         # per-step flops, no factorizations beyond a tiny (E, E) solve.
-        F0, _, Om0 = slr_dyn(m0, P0, times[0])
-        H0, _, Gm0 = slr_obs(m0, P0, times[0])
-        Q0, R0 = Om0 + GQGt, Gm0 + r_cov
+        F0, _, Q0 = slr_dyn(m0, P0, times[0])
+        H0, _, R0 = slr_obs(m0, P0, times[0])
 
         def ricc(P, _):
             Pp = symmetrize(small_mm3(F0, P, F0.T) + Q0)
@@ -279,16 +304,15 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         P_ss, _ = jax.lax.scan(ricc, P0, None, length=50)
         Pp_ss = symmetrize(small_mm3(F0, P_ss, F0.T) + Q0)
 
-        h = lambda x, t: jnp.atleast_1d(mod_obs.meas_eval(x, t))
-        h_jac = jax.jacfwd(h)
+        h_jac = jax.jacfwd(h_mean)
 
         def roll(m, inp):
             t, y = inp
-            mp = jnp.atleast_1d(mod_dyn.dyn_eval(m, t))
+            mp = f_mean(m, t)
             H = h_jac(mp, t)
             S = small_mm3(H, Pp_ss, H.T) + R0
             K = pd_solve_small(S, small_matmul(H, Pp_ss)).T
-            m_next = mp + small_matmul(K, y - h(mp, t))
+            m_next = mp + small_matmul(K, y - h_mean(mp, t))
             return m_next, m_next
 
         if init == "observer" or n_steps <= block_len:
@@ -310,7 +334,7 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         lin_m = jnp.concatenate([m0[None], rolled], axis=0)
     elif init == "rollout":
         def roll(m, t):
-            m_next = jnp.atleast_1d(mod_dyn.dyn_eval(m, t))
+            m_next = f_mean(m, t)
             return m_next, m_next
         _, rolled = jax.lax.scan(roll, m0, times)
         lin_m = jnp.concatenate([m0[None], rolled], axis=0)

@@ -18,7 +18,9 @@ from ssmtoybox_tpu.parallel.iplf import (
     parallel_affine_filter, parallel_affine_smoother, iterated_parallel_smoother,
     slr_affine)
 from ssmtoybox_tpu.ssmod import (ConstantVelocity, MeasurementModel,
-                                 Pendulum2DTransition, Pendulum2DMeasurement)
+                                 Pendulum2DTransition, Pendulum2DMeasurement,
+                                 TransitionModel, UNGMNATransition,
+                                 UNGMNAMeasurement)
 from ssmtoybox_tpu.utils import GaussRV
 
 
@@ -204,6 +206,60 @@ def test_long_record_observer_init():
     res = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2)
     rmse = float(jnp.sqrt(jnp.mean((res.sm_mean - x_true) ** 2)))
     assert rmse < 0.2, rmse
+
+
+# ---------------------------------------------------------------------------
+# non-additive noise: SLR over the augmented input
+# ---------------------------------------------------------------------------
+
+class LinearNATransition(TransitionModel):
+    """x_k = 0.9 x + q with the noise flagged NON-additive — numerically the
+    same model as its additive twin, so the augmented-SLR path must
+    reproduce the sequential UKF exactly."""
+    dim_state = 1
+    dim_noise = 1
+    noise_additive = False
+
+    def dyn_fcn(self, x, q, time):
+        return jnp.atleast_1d(0.9 * x[0] + q[0])
+
+
+class LinearNAMeasurement(MeasurementModel):
+    dim_substate = 1
+    dim_out = 1
+    dim_noise = 1
+    noise_additive = False
+
+    def meas_fcn(self, x, r, time):
+        return jnp.atleast_1d(x[0] + r[0])
+
+
+def test_nonadditive_linear_matches_sequential():
+    dyn = LinearNATransition.create(GaussRV.create(1, mean=1.0, cov=1.0),
+                                    GaussRV.create(1, cov=0.5))
+    obs = LinearNAMeasurement.create(GaussRV.create(1, cov=0.2), dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(7), steps=40, mc_sims=1)
+    y = obs.simulate_measurements(jax.random.PRNGKey(8), x)[..., 0]
+    ukf = st.UnscentedKalman(dyn, obs)           # augmented sequential filter
+    fm_seq, fP_seq = ukf.forward_pass(y)
+    res = iterated_parallel_smoother(dyn, obs, UnscentedTransform(2),
+                                     UnscentedTransform(2), y, iterations=1)
+    np.testing.assert_allclose(np.asarray(res.fi_mean), np.asarray(fm_seq),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.fi_cov), np.asarray(fP_seq),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_nonadditive_ungm_runs():
+    dyn = UNGMNATransition.create(GaussRV.create(1, mean=1.0, cov=1.0),
+                                  GaussRV.create(1, cov=10.0))
+    obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(9), steps=100, mc_sims=1)
+    y = obs.simulate_measurements(jax.random.PRNGKey(10), x)[..., 0]
+    res = iterated_parallel_smoother(dyn, obs, UnscentedTransform(2),
+                                     UnscentedTransform(2), y, iterations=4)
+    assert bool(jnp.isfinite(res.sm_mean).all())
+    assert bool(jnp.isfinite(res.sm_cov).all())
 
 
 class AngleMeasurement(MeasurementModel):
