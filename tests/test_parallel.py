@@ -114,3 +114,23 @@ def test_filter_bank_sharded(setup):
     single = st.ssinf.gaussian_filter_batch(dyn, obs, tfs[1], tfs[1], batch)
     np.testing.assert_allclose(np.asarray(out.fi_mean[1]), np.asarray(single.fi_mean),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_iterated_smoother_sharded(setup):
+    """The time-parallel iterated smoother composes with dp sharding: a batch
+    of records sharded over the 8-device mesh matches the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ssmtoybox_tpu.parallel import iterated_parallel_smoother
+    dyn, obs, x, y = setup
+    mesh = make_mesh(dp=8, fb=1)
+    tf = st.UnscentedTransform(1)
+    run = jax.jit(jax.vmap(lambda d: iterated_parallel_smoother(
+        dyn, obs, tf, tf, d, iterations=2)))
+    batch = jax.device_put(jnp.moveaxis(y, -1, 0),
+                           NamedSharding(mesh, P("dp", None, None)))
+    out = run(batch)
+    assert not out.sm_mean.sharding.is_fully_replicated
+    local = run(jnp.moveaxis(y, -1, 0))
+    np.testing.assert_allclose(np.asarray(out.sm_mean), np.asarray(local.sm_mean),
+                               rtol=1e-8, atol=1e-8)
+    assert np.isfinite(np.asarray(out.sm_cov)).all()
