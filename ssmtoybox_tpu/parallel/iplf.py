@@ -34,8 +34,6 @@ unrolled ``small_matmul`` kernels (f64 TPU gap, see ``utils/linalg.py``).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,7 +42,7 @@ from jax.scipy.linalg import block_diag
 
 from ..ssinf import _tf_apply
 from ..utils.linalg import pd_solve_small, small_matmul, small_mm3, symmetrize
-from .timescan import _combine_filter, _combine_smoother
+from .timescan import parallel_affine_filter, parallel_affine_smoother
 
 __all__ = [
     "slr_affine",
@@ -59,96 +57,16 @@ def slr_affine(tf, f, mean, cov, time, theta=None):
     """Statistical linear regression of ``f`` about ``N(mean, cov)``.
 
     Returns ``(A, b, Omega)`` such that ``f(x) ≈ A x + b + e`` with
-    ``e ~ N(0, Omega)`` — the moment-matched affine fit implied by the moment
-    transform ``tf`` (``mean_f``, ``cov_f``, ``cov_fx`` of ``mtran.py:14-46``).
+    ``e ~ N(0, Omega)``: with ``C = Cov(f(x), x)`` of shape (E, D) (the
+    ``cov_fx`` orientation of ``mtran.py:14-46``), ``A = C P^{-1}``,
+    ``b = mu - A m`` and ``Omega = S - A P A^T`` — the moment-matched affine
+    fit implied by the moment transform ``tf``.
     """
     mu, S, C = _tf_apply(tf, f, mean, cov, time, theta)
     A = pd_solve_small(cov, C.T).T                     # (E, D)
     b = mu - small_matmul(A, mean)
     Omega = symmetrize(S - small_mm3(A, cov, A.T))
     return A, b, Omega
-
-
-def _affine_filter_elements(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys):
-    """Per-step filtering elements for a time-varying affine model.
-
-    Same construction as ``timescan._filter_elements`` with the affine
-    offsets folded in: conditioned on ``x_{k-1}``, the posterior of ``x_k``
-    given ``y_k`` is ``N((I-KH)F x + b + K(y - c - H b), (I-KH)Q)``.
-    """
-    d = m0.shape[0]
-    eye = jnp.eye(d, dtype=m0.dtype)
-
-    def generic(F, bd, Q, H, c, R, y):
-        yc = y - c - small_matmul(H, bd)
-        S = small_mm3(H, Q, H.T) + R
-        K = pd_solve_small(S, small_matmul(H, Q)).T
-        A = small_matmul(eye - small_matmul(K, H), F)
-        b = bd + small_matmul(K, yc)
-        C = symmetrize(Q - small_mm3(K, H, Q))
-        HF = small_matmul(H, F)
-        eta = small_matmul(HF.T, pd_solve_small(S, yc))
-        J = small_matmul(HF.T, pd_solve_small(S, HF))
-        return A, b, C, eta, J
-
-    A, b, C, eta, J = jax.vmap(generic)(Fs, bs, Qs, Hs, cs, Rs, ys)
-
-    # first element conditions on the prior pushed through step 1's model
-    m1 = small_matmul(Fs[0], m0) + bs[0]
-    P1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
-    S1 = small_mm3(Hs[0], P1, Hs[0].T) + Rs[0]
-    K1 = pd_solve_small(S1, small_matmul(Hs[0], P1)).T
-    b0 = m1 + small_matmul(K1, ys[0] - cs[0] - small_matmul(Hs[0], m1))
-    C0 = symmetrize(P1 - small_mm3(K1, Hs[0], P1))
-
-    A = A.at[0].set(jnp.zeros((d, d), dtype=m0.dtype))
-    b = b.at[0].set(b0)
-    C = C.at[0].set(C0)
-    eta = eta.at[0].set(jnp.zeros((d,), dtype=m0.dtype))
-    J = J.at[0].set(jnp.zeros((d, d), dtype=m0.dtype))
-    return A, b, C, eta, J
-
-
-def parallel_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, data) -> Tuple[jax.Array, jax.Array]:
-    """Kalman-filter a time-varying affine model in O(log N) parallel depth.
-
-    ``Fs (N,D,D), bs (N,D), Qs (N,D,D)`` define ``x_k = F_k x_{k-1} + b_k + q_k``
-    (element ``k`` predicts step ``k`` from ``k-1``); ``Hs (N,E,D), cs (N,E),
-    Rs (N,E,E)`` define ``y_k = H_k x_k + c_k + r_k``; ``data`` is (E, N).
-    Returns ``(fi_mean (D,N), fi_cov (D,D,N))`` — identical (to rounding) to
-    the sequential filter.
-    """
-    ys = jnp.asarray(data).T
-    elems = _affine_filter_elements(Fs, bs, Qs, Hs, cs, Rs,
-                                    jnp.asarray(m0), jnp.asarray(P0), ys)
-    A, b, C, eta, J = jax.lax.associative_scan(_combine_filter, elems)
-    return jnp.moveaxis(b, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(C), 0, -1)
-
-
-def parallel_affine_smoother(Fs, bs, Qs, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
-    """RTS-smooth the affine parallel filter output in O(log N) depth.
-
-    ``Fs/bs/Qs`` use the same indexing as :func:`parallel_affine_filter`
-    (element ``k`` maps step ``k-1`` to ``k``), so the smoothing element at
-    step ``k`` uses the dynamics into ``k+1``.
-    """
-    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
-    P = jnp.moveaxis(jnp.asarray(fi_cov), -1, 0)           # (N, D, D)
-
-    def element(F, bd, Q, mk, Pk):
-        Pp = symmetrize(small_mm3(F, Pk, F.T) + Q)
-        G = pd_solve_small(Pp, small_matmul(F, Pk)).T
-        g = mk - small_matmul(G, small_matmul(F, mk) + bd)
-        L = symmetrize(Pk - small_mm3(G, Pp, G.T))
-        return G, g, L
-
-    E, g, L = jax.vmap(element)(Fs[1:], bs[1:], Qs[1:], m[:-1], P[:-1])
-    E = jnp.concatenate([E, jnp.zeros_like(Fs[:1])], axis=0)
-    g = jnp.concatenate([g, m[-1:]], axis=0)
-    L = jnp.concatenate([L, P[-1:]], axis=0)
-
-    E_s, g_s, L_s = jax.lax.associative_scan(_combine_smoother, (E, g, L), reverse=True)
-    return jnp.moveaxis(g_s, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(L_s), 0, -1)
 
 
 class IteratedSmootherResult(struct.PyTreeNode):
@@ -226,9 +144,12 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     GQGt = small_mm3(G, q_cov, G.T)
     dim = m0.shape[0]
 
-    data = jnp.asarray(data)
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1; got {iterations}")
+    data = jnp.asarray(data, dtype=m0.dtype)
     n_steps = data.shape[-1]
-    times = jnp.arange(n_steps, dtype=m0.dtype)            # k-1 for k = 1..N
+    # integer time stamps, like the sequential filter's k-1 (ssinf.py:183)
+    times = jnp.arange(n_steps)
 
     def slr_dyn(m, P, t):
         """SLR of the dynamics about N(m, P) -> (F, b, Q_eff)."""
@@ -304,15 +225,20 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         P_ss, _ = jax.lax.scan(ricc, P0, None, length=50)
         Pp_ss = symmetrize(small_mm3(F0, P_ss, F0.T) + Q0)
 
-        h_jac = jax.jacfwd(h_mean)
+        # value and Jacobian of h in ONE evaluation (has_aux returns the
+        # primal alongside the forward-mode Jacobian) — h runs inside the
+        # sequential init scan, so a second call would cost a full extra
+        # O(N)-depth pass for expensive measurement models
+        def h_val_jac(x, t):
+            return jax.jacfwd(lambda xx: (h_mean(xx, t),) * 2, has_aux=True)(x)
 
         def roll(m, inp):
             t, y = inp
             mp = f_mean(m, t)
-            H = h_jac(mp, t)
+            H, y_pred = h_val_jac(mp, t)
             S = small_mm3(H, Pp_ss, H.T) + R0
             K = pd_solve_small(S, small_matmul(H, Pp_ss)).T
-            m_next = mp + small_matmul(K, y - h_mean(mp, t))
+            m_next = mp + small_matmul(K, y - y_pred)
             return m_next, m_next
 
         if init == "observer" or n_steps <= block_len:

@@ -38,45 +38,46 @@ import jax.numpy as jnp
 
 from ..utils.linalg import gen_solve, pd_solve_small, small_matmul, small_mm3, symmetrize
 
-__all__ = ["parallel_linear_filter", "parallel_linear_smoother"]
+__all__ = ["parallel_linear_filter", "parallel_linear_smoother",
+           "parallel_affine_filter", "parallel_affine_smoother"]
 
 
-def _filter_elements(F, Q, H, R, m0, P0, ys):
-    """Per-step filtering elements (eqs. 10-12 of Särkkä & G-F 2021)."""
-    n = ys.shape[0]
-    d = F.shape[0]
-    eye = jnp.eye(d, dtype=F.dtype)
+def _affine_filter_elements(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys):
+    """Per-step filtering elements for a time-varying affine model
+    (eqs. 10-12 of Särkkä & G-F 2021 with the affine offsets folded in):
+    conditioned on ``x_{k-1}``, the posterior of ``x_k`` given ``y_k`` is
+    ``N((I-KH)F x + b + K(y - c - H b), (I-KH)Q)``.
+    """
+    d = m0.shape[0]
+    eye = jnp.eye(d, dtype=m0.dtype)
 
-    def generic(y):
-        # predictive covariance contribution of one step: F, Q
-        S = H @ Q @ H.T + R                                 # (E, E)
-        K = pd_solve_small(S, H @ Q).T                      # (D, E)
-        A = (eye - K @ H) @ F
-        b = K @ y
-        C = symmetrize(Q - K @ H @ Q)
-        HF = H @ F
-        eta = HF.T @ pd_solve_small(S, y)
-        J = HF.T @ pd_solve_small(S, HF)
+    def generic(F, bd, Q, H, c, R, y):
+        yc = y - c - small_matmul(H, bd)
+        S = small_mm3(H, Q, H.T) + R
+        K = pd_solve_small(S, small_matmul(H, Q)).T
+        A = small_matmul(eye - small_matmul(K, H), F)
+        b = bd + small_matmul(K, yc)
+        C = symmetrize(Q - small_mm3(K, H, Q))
+        HF = small_matmul(H, F)
+        eta = small_matmul(HF.T, pd_solve_small(S, yc))
+        J = small_matmul(HF.T, pd_solve_small(S, HF))
         return A, b, C, eta, J
 
-    A, b, C, eta, J = jax.vmap(generic)(ys)
+    A, b, C, eta, J = jax.vmap(generic)(Fs, bs, Qs, Hs, cs, Rs, ys)
 
-    # first element conditions on the prior N(F m0, F P0 F^T + Q)
-    m1 = F @ m0
-    P1 = symmetrize(F @ P0 @ F.T + Q)
-    S1 = H @ P1 @ H.T + R
-    K1 = pd_solve_small(S1, H @ P1).T
-    A0 = jnp.zeros_like(F)
-    b0 = m1 + K1 @ (ys[0] - H @ m1)
-    C0 = symmetrize(P1 - K1 @ H @ P1)
-    eta0 = jnp.zeros((d,), dtype=F.dtype)
-    J0 = jnp.zeros_like(F)
+    # first element conditions on the prior pushed through step 1's model
+    m1 = small_matmul(Fs[0], m0) + bs[0]
+    P1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
+    S1 = small_mm3(Hs[0], P1, Hs[0].T) + Rs[0]
+    K1 = pd_solve_small(S1, small_matmul(Hs[0], P1)).T
+    b0 = m1 + small_matmul(K1, ys[0] - cs[0] - small_matmul(Hs[0], m1))
+    C0 = symmetrize(P1 - small_mm3(K1, Hs[0], P1))
 
-    A = A.at[0].set(A0)
+    A = A.at[0].set(jnp.zeros((d, d), dtype=m0.dtype))
     b = b.at[0].set(b0)
     C = C.at[0].set(C0)
-    eta = eta.at[0].set(eta0)
-    J = J.at[0].set(J0)
+    eta = eta.at[0].set(jnp.zeros((d,), dtype=m0.dtype))
+    J = J.at[0].set(jnp.zeros((d, d), dtype=m0.dtype))
     return A, b, C, eta, J
 
 
@@ -101,18 +102,38 @@ def _combine_filter(elem1, elem2):
     return A, b, C, eta, J
 
 
+def parallel_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, data) -> Tuple[jax.Array, jax.Array]:
+    """Kalman-filter a time-varying affine model in O(log N) parallel depth.
+
+    ``Fs (N,D,D), bs (N,D), Qs (N,D,D)`` define ``x_k = F_k x_{k-1} + b_k + q_k``
+    (element ``k`` predicts step ``k`` from ``k-1``); ``Hs (N,E,D), cs (N,E),
+    Rs (N,E,E)`` define ``y_k = H_k x_k + c_k + r_k``; ``data`` is (E, N).
+    Returns ``(fi_mean (D,N), fi_cov (D,D,N))`` — identical (to rounding) to
+    the sequential filter.
+    """
+    ys = jnp.asarray(data).T
+    elems = _affine_filter_elements(Fs, bs, Qs, Hs, cs, Rs,
+                                    jnp.asarray(m0), jnp.asarray(P0), ys)
+    A, b, C, eta, J = jax.lax.associative_scan(_combine_filter, elems)
+    return jnp.moveaxis(b, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(C), 0, -1)
+
+
 def parallel_linear_filter(F, Q, H, R, m0, P0, data) -> Tuple[jax.Array, jax.Array]:
     """Kalman-filter a linear-Gaussian model in O(log N) parallel depth.
 
     Parameters follow the module docstring; ``data`` is (dim_y, N).
     Returns ``(fi_mean (D, N), fi_cov (D, D, N))`` — identical (to rounding)
-    to the sequential filter.
+    to the sequential filter.  Thin wrapper: the constant-coefficient,
+    zero-offset special case of :func:`parallel_affine_filter`.
     """
-    ys = jnp.asarray(data).T                               # (N, E)
-    elems = _filter_elements(jnp.asarray(F), jnp.asarray(Q), jnp.asarray(H),
-                             jnp.asarray(R), jnp.asarray(m0), jnp.asarray(P0), ys)
-    A, b, C, eta, J = jax.lax.associative_scan(_combine_filter, elems)
-    return jnp.moveaxis(b, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(C), 0, -1)
+    data = jnp.asarray(data)
+    n = data.shape[-1]
+    F, Q, H, R = map(jnp.asarray, (F, Q, H, R))
+    rep = lambda a: jnp.broadcast_to(a, (n,) + a.shape)
+    zero_c = jnp.zeros((n, H.shape[0]), dtype=F.dtype)
+    zero_b = jnp.zeros((n, F.shape[0]), dtype=F.dtype)
+    return parallel_affine_filter(rep(F), zero_b, rep(Q), rep(H), zero_c, rep(R),
+                                  m0, P0, data)
 
 
 def _combine_smoother(elem2, elem1):
@@ -125,33 +146,44 @@ def _combine_smoother(elem2, elem1):
     return E, g, L
 
 
-def parallel_linear_smoother(F, Q, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
-    """RTS-smooth the parallel filter output in O(log N) parallel depth.
+def parallel_affine_smoother(Fs, bs, Qs, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
+    """RTS-smooth the affine parallel filter output in O(log N) depth.
 
-    ``fi_mean``/``fi_cov`` are the (D, N)/(D, D, N) outputs of
-    :func:`parallel_linear_filter`.  Returns smoothed ``(means, covs)`` of the
-    same shapes (textbook RTS — every step smoothed from the final filtered
-    estimate).
+    ``Fs/bs/Qs`` use the same indexing as :func:`parallel_affine_filter`
+    (element ``k`` maps step ``k-1`` to ``k``), so the smoothing element at
+    step ``k`` uses the dynamics into ``k+1``.  Textbook RTS — every step
+    smoothed from the final filtered estimate.
     """
-    F = jnp.asarray(F)
-    Q = jnp.asarray(Q)
     m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
     P = jnp.moveaxis(jnp.asarray(fi_cov), -1, 0)           # (N, D, D)
 
-    def element(mk, Pk):
-        Pp = symmetrize(F @ Pk @ F.T + Q)                  # predictive at k+1
-        G = pd_solve_small(Pp, F @ Pk).T                   # smoother gain
-        E = G
-        g = mk - G @ (F @ mk)
-        L = symmetrize(Pk - G @ Pp @ G.T)
-        return E, g, L
+    def element(F, bd, Q, mk, Pk):
+        Pp = symmetrize(small_mm3(F, Pk, F.T) + Q)         # predictive at k+1
+        G = pd_solve_small(Pp, small_matmul(F, Pk)).T      # smoother gain
+        g = mk - small_matmul(G, small_matmul(F, mk) + bd)
+        L = symmetrize(Pk - small_mm3(G, Pp, G.T))
+        return G, g, L
 
     # elements for steps 0..N-2; the last step keeps its filtered moments
-    E, g, L = jax.vmap(element)(m[:-1], P[:-1])
-    eyeD = jnp.eye(F.shape[0], dtype=F.dtype)
-    E = jnp.concatenate([E, jnp.zeros_like(F)[None]], axis=0)
+    E, g, L = jax.vmap(element)(Fs[1:], bs[1:], Qs[1:], m[:-1], P[:-1])
+    E = jnp.concatenate([E, jnp.zeros_like(Fs[:1])], axis=0)
     g = jnp.concatenate([g, m[-1:]], axis=0)
     L = jnp.concatenate([L, P[-1:]], axis=0)
 
     E_s, g_s, L_s = jax.lax.associative_scan(_combine_smoother, (E, g, L), reverse=True)
     return jnp.moveaxis(g_s, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(L_s), 0, -1)
+
+
+def parallel_linear_smoother(F, Q, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
+    """RTS-smooth the parallel filter output in O(log N) parallel depth.
+
+    ``fi_mean``/``fi_cov`` are the (D, N)/(D, D, N) outputs of
+    :func:`parallel_linear_filter`.  Thin wrapper over
+    :func:`parallel_affine_smoother` with constant coefficients.
+    """
+    F = jnp.asarray(F)
+    Q = jnp.asarray(Q)
+    n = jnp.asarray(fi_mean).shape[-1]
+    rep = lambda a: jnp.broadcast_to(a, (n,) + a.shape)
+    zero_b = jnp.zeros((n, F.shape[0]), dtype=F.dtype)
+    return parallel_affine_smoother(rep(F), zero_b, rep(Q), fi_mean, fi_cov)
