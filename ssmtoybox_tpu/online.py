@@ -62,6 +62,9 @@ def make_online_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = False,
     m0, P0 = mod_dyn.init_rv.get_stats()[:2]
 
     def init(batch_size: Optional[int] = None) -> OnlineState:
+        if batch and batch_size is None:
+            raise ValueError("batch=True filters need init(batch_size=...) — "
+                             "an unbatched state would crash the vmapped step")
         # fresh copies: the state is donated to the jitted step, and handing
         # out the model's own prior buffers would let donation delete them
         if batch and batch_size is not None:

@@ -74,7 +74,9 @@ def _rule_arrays(tf, what: str):
     xi = np.asarray(tf.unit_sp)
     wm = np.asarray(tf.wm)
     Wc = np.asarray(tf.Wc)
-    if not np.allclose(Wc, np.diag(np.diag(Wc))):
+    # exact check: silently dropping small-but-genuine off-diagonal weights
+    # would compute with a truncated rule
+    if np.any(Wc != np.diag(np.diag(Wc))):
         raise TypeError(f"{what} transform has a non-diagonal covariance-weight "
                         f"matrix; square-root form requires a classical rule")
     wc = np.diag(Wc)
@@ -135,23 +137,33 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     sqrt_pos_d = cast(np.sqrt(np.clip(wc_d, 0.0, None)))[None, :]
     sqrt_pos_o = cast(np.sqrt(np.clip(wc_o, 0.0, None)))[None, :]
 
-    def time_core(m, S, k):
-        """Factor-form time update; also returns the input/propagated
-        deviations (the smoother's joint factorization needs them)."""
+    def time_dev(m, S, k):
+        """Propagate sigma points; returns the predicted mean and the
+        input/propagated deviations (no factorization — the smoother gets
+        ``S_pr`` as the leading block of its joint factorization instead)."""
         dX_in = small_matmul(S, xi_d_)
         X = m[:, None] + dX_in
         # model parameters may live in f64; pin the recursion's dtype
         fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
         m_pr = small_matmul(fX, wm_d_)
         dfx = fX - m_pr[:, None]
+        return m_pr, dfx, dX_in
+
+    def time_core(m, S, k):
+        """Factor-form time update."""
+        m_pr, dfx, dX_in = time_dev(m, S, k)
         S_pr = _sqrt_from_deviations(dfx, sqrt_pos_d, Sq_, wc_d, neg_d)
         return m_pr, S_pr, dfx, dX_in
 
     def meas_core(m_pr, S_pr, y, k):
-        """Factor-form measurement update."""
+        """Factor-form measurement update.  The measurement function is
+        evaluated at ``k - 1`` like the full-covariance filters
+        (``ssinf._gaussian_time_update`` applies both models at ``time=k-1``,
+        the reference convention), so time-dependent measurement models see
+        identical stamps on both paths."""
         dX = small_matmul(S_pr, xi_o_)
         Xp = m_pr[:, None] + dX
-        hX = apply_f_columns(mod_obs.meas_eval, Xp, k).astype(S_pr.dtype)
+        hX = apply_f_columns(mod_obs.meas_eval, Xp, k - 1).astype(S_pr.dtype)
         y_pr = small_matmul(hX, wm_o_)
         dhx = hX - y_pr[:, None]
         S_yy = _sqrt_from_deviations(dhx, sqrt_pos_o, Sr_, wc_o, neg_o)
@@ -172,8 +184,10 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
         return m_pr, S_pr, y_pr, S_yy, m_fi, S_fi
 
-    statics = dict(sqrt_pos_d=sqrt_pos_d, Sq=Sq_, wc_d=wc_d, neg_d=neg_d)
-    cores = dict(step=step_core, time=time_core, meas=meas_core, statics=statics)
+    statics = dict(sqrt_pos_d=sqrt_pos_d, Sq=Sq_, wc_d=wc_d, neg_d=neg_d,
+                   xi_d=xi_d, wc_d_np=wc_d)
+    cores = dict(step=step_core, time=time_core, time_dev=time_dev,
+                 meas=meas_core, statics=statics)
     return cores, cast, m0_np, S0_np, dim_y
 
 
@@ -234,15 +248,31 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     """
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
-    time_core, meas_core = cores["time"], cores["meas"]
+    time_dev, meas_core = cores["time_dev"], cores["meas"]
     st_ = cores["statics"]
     sqrt_pos_d, Sq_, wc_d, neg_d = (st_["sqrt_pos_d"], st_["Sq"],
                                     st_["wc_d"], st_["neg_d"])
     dim = S0_np.shape[0]
 
+    # the joint factorization's bottom block reconstructs the filtered
+    # covariance as S_fi (sum_i wc_i xi_i xi_i^T) S_fi^T — only valid for
+    # rules whose covariance weights reproduce identity.  The fully-symmetric
+    # Student rule reconstructs dof/(dof-2) * I instead, which would silently
+    # inflate every smoothed covariance.
+    recon = st_["xi_d"] @ np.diag(st_["wc_d_np"]) @ st_["xi_d"].T
+    if not np.allclose(recon, np.eye(dim), atol=1e-10):
+        raise TypeError(
+            "square-root smoothing requires a sigma-point rule whose covariance "
+            "weights reconstruct identity (sum wc_i xi_i xi_i^T = I); this rule "
+            f"reconstructs\n{recon}\n(the FS Student rule scales by dof/(dof-2)) "
+            "— use the full-covariance smoother for it")
+
     def joint_factor(dfx, dX_in):
         """Lower factor of the joint (x_pred, x_prev) covariance; blocks give
-        S_pr (again), the smoother gain and the conditional factor R22."""
+        S_pr (its leading principal block — a Cholesky factor's leading block
+        depends only on the leading block of the matrix, so no separate
+        prediction QR is needed), the smoother gain and the conditional
+        factor R22."""
         zeros = jnp.zeros(dX_in.shape[:-1] + (Sq_.shape[-1],), dX_in.dtype)
         top = jnp.concatenate([dfx * sqrt_pos_d, Sq_ + zeros], axis=-1)
         bot = jnp.concatenate([dX_in * sqrt_pos_d, zeros], axis=-1)
@@ -256,7 +286,7 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         # G = L21 L11^-1  via  L11^T G^T = L21^T (upper-triangular solve)
         Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
                              jnp.swapaxes(L21, -1, -2), lower=False)
-        return jnp.swapaxes(Gt, -1, -2), R22
+        return L11, jnp.swapaxes(Gt, -1, -2), R22
 
     @jax.jit
     def smooth_fn(data, init_mean=None, init_sqrt=None):
@@ -268,8 +298,8 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         def fstep(carry, inp):
             m, S = carry
             y, k = inp
-            m_pr, S_pr, dfx, dX_in = time_core(m, S, k)
-            G, R22 = joint_factor(dfx, dX_in)
+            m_pr, dfx, dX_in = time_dev(m, S, k)
+            S_pr, G, R22 = joint_factor(dfx, dX_in)
             _, _, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
             return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi, G, R22)
 
@@ -335,6 +365,9 @@ def make_online_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = Fals
     step_core = cores["step"]
 
     def init(batch_size=None) -> SqrtOnlineState:
+        if batch and batch_size is None:
+            raise ValueError("batch=True filters need init(batch_size=...) — "
+                             "an unbatched state would crash the vmapped step")
         m0, S0 = cast(m0_np), cast(S0_np)
         # fresh copies: the state is donated to the jitted step
         if batch and batch_size is not None:

@@ -229,3 +229,26 @@ class TestSqrtValidation:
         dyn, obs, _, _ = ungm
         with pytest.raises(ValueError, match="unsupported point set"):
             SquareRootKalman(dyn, obs, points="bogus")
+
+    def test_smoother_rejects_fs_rule(self, ungm):
+        """The FS Student rule reconstructs dof/(dof-2)*I, not I, so the
+        joint-factorization smoother would silently inflate every smoothed
+        covariance — it must refuse (the filter itself still works: its
+        factors mirror the full-covariance filter with the same rule)."""
+        dyn, obs, _, y = ungm
+        alg = SquareRootKalman(dyn, obs, points="fs")
+        alg.forward_pass(y[..., 0])              # filter path is fine
+        with pytest.raises(TypeError, match="reconstruct identity"):
+            alg.smooth(y[..., 0])
+
+    def test_batched_init_requires_batch_size(self, ungm):
+        dyn, obs, _, _ = ungm
+        tf = st.UnscentedTransform(1)
+        from ssmtoybox_tpu.sqrt import make_online_sqrt_filter
+        init, _ = make_online_sqrt_filter(dyn, obs, tf, tf, batch=True)
+        with pytest.raises(ValueError, match="batch_size"):
+            init()
+        from ssmtoybox_tpu.online import make_online_filter
+        init2, _ = make_online_filter(dyn, obs, tf, tf, batch=True)
+        with pytest.raises(ValueError, match="batch_size"):
+            init2()
