@@ -5,9 +5,10 @@ a deployed tracker instead receives measurements one at a time and must
 update state in place with minimal latency.  This module provides that
 per-measurement API on top of the same pure step math:
 
-* :class:`OnlineState` — the filter's carry as a pytree (mean, covariance,
-  step counter; scale matrix + dof for Student filters), checkpointable with
-  :mod:`ssmtoybox_tpu.utils.checkpoint`.
+* :class:`OnlineState` — the Gaussian filter's carry as a pytree (mean,
+  covariance, step counter), checkpointable with
+  :mod:`ssmtoybox_tpu.utils.checkpoint`.  (Streaming is Gaussian-only; the
+  square-root variant lives in :mod:`ssmtoybox_tpu.sqrt`.)
 * :func:`make_online_filter` — builds a jitted ``step(state, y) -> (state,
   info)`` with donated state buffers (no per-step allocation churn) and an
   optional leading batch axis for multi-target serving.
@@ -65,6 +66,10 @@ def make_online_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = False,
         if batch and batch_size is None:
             raise ValueError("batch=True filters need init(batch_size=...) — "
                              "an unbatched state would crash the vmapped step")
+        if not batch and batch_size is not None:
+            raise ValueError("init(batch_size=...) requires the filter built "
+                             "with batch=True — an unbatched step would silently "
+                             "broadcast batched measurements into a corrupt state")
         # fresh copies: the state is donated to the jitted step, and handing
         # out the model's own prior buffers would let donation delete them
         if batch and batch_size is not None:

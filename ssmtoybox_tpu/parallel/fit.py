@@ -28,7 +28,9 @@ def nlml_loss(model, log_par, fcn_obs_batch, x_obs):
     or time steps).  The per-sample NLML is the reference's objective
     (``bqmod.py:537-596``); batching + averaging makes it SPMD-shardable.
     """
-    jitter = 1e-8 * jnp.eye(x_obs.shape[1], dtype=x_obs.dtype)
+    # honor the kernel's configured jitter (a user on the f32 path may have
+    # raised it; 1e-8 is below f32 resolution for O(1) kernel matrices)
+    jitter = model.kernel.jitter * jnp.eye(x_obs.shape[1], dtype=x_obs.dtype)
     per = jax.vmap(lambda fo: model.neg_log_marginal_likelihood(log_par, fo, x_obs, jitter))
     return jnp.mean(per(fcn_obs_batch))
 

@@ -368,6 +368,10 @@ def make_online_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = Fals
         if batch and batch_size is None:
             raise ValueError("batch=True filters need init(batch_size=...) — "
                              "an unbatched state would crash the vmapped step")
+        if not batch and batch_size is not None:
+            raise ValueError("init(batch_size=...) requires the filter built "
+                             "with batch=True — an unbatched step would silently "
+                             "broadcast batched measurements into a corrupt state")
         m0, S0 = cast(m0_np), cast(S0_np)
         # fresh copies: the state is donated to the jitted step
         if batch and batch_size is not None:

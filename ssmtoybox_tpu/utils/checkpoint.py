@@ -15,13 +15,21 @@ import jax
 __all__ = ["save_pytree", "restore_pytree"]
 
 
-def save_pytree(path: str, tree) -> str:
-    """Save an array pytree checkpoint to ``path`` (a directory)."""
+def save_pytree(path: str, tree, overwrite: bool = False) -> str:
+    """Save an array pytree checkpoint to ``path`` (a directory).
+
+    Refuses to replace an existing checkpoint unless ``overwrite=True`` —
+    a silent always-force save would turn a path mix-up into unrecoverable
+    loss of study results.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(
+            f"checkpoint already exists at {path}; pass overwrite=True to replace it")
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, tree, force=True)
+        ckptr.save(path, tree, force=overwrite)
     return path
 
 

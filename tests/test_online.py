@@ -1,5 +1,6 @@
 """Streaming filter API + checkpoint/resume tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,3 +111,29 @@ def test_profiler_trace_writes(tmp_path):
     with trace(d):
         jnp.sum(jnp.arange(100.0)).block_until_ready()
     assert os.path.isdir(d) and len(os.listdir(d)) > 0
+
+
+def test_checkpoint_refuses_silent_overwrite(tmp_path):
+    from ssmtoybox_tpu.utils.checkpoint import save_pytree, restore_pytree
+    import jax.numpy as jnp
+    tree = {"a": jnp.arange(3.0)}
+    p = str(tmp_path / "ckpt")
+    save_pytree(p, tree)
+    with pytest.raises(FileExistsError, match="overwrite=True"):
+        save_pytree(p, tree)
+    save_pytree(p, {"a": jnp.arange(3.0) + 1}, overwrite=True)
+    out = restore_pytree(p, like=tree)
+    np.testing.assert_allclose(np.asarray(out["a"]), [1.0, 2.0, 3.0])
+
+
+def test_init_batch_size_guards():
+    from ssmtoybox_tpu.online import make_online_filter
+    import ssmtoybox_tpu as st
+    from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
+    from ssmtoybox_tpu.utils import GaussRV
+    dyn = UNGMTransition.create(GaussRV.create(1), GaussRV.create(1))
+    obs = UNGMMeasurement.create(GaussRV.create(1), dim_state=1)
+    tf = st.UnscentedTransform(1)
+    init, _ = make_online_filter(dyn, obs, tf, tf, batch=False)
+    with pytest.raises(ValueError, match="batch=True"):
+        init(batch_size=4)

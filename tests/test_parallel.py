@@ -134,3 +134,32 @@ def test_iterated_smoother_sharded(setup):
     np.testing.assert_allclose(np.asarray(out.sm_mean), np.asarray(local.sm_mean),
                                rtol=1e-8, atol=1e-8)
     assert np.isfinite(np.asarray(out.sm_cov)).all()
+
+
+def test_non_divisible_mc_batch_is_padded(setup):
+    """The reference's canonical studies use mc=100, which no power-of-two
+    mesh divides — the study helpers must pad/un-pad transparently."""
+    dyn, obs, x, y = setup
+    mesh = make_mesh(dp=8, fb=1)
+    ukf = st.UnscentedKalman(dyn, obs)
+    batch = jnp.moveaxis(y, -1, 0)[:12]            # 12 % 8 != 0
+    out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, batch, mesh)
+    assert out.fi_mean.shape[0] == 12
+    local = ukf.forward_pass_batch(batch)
+    np.testing.assert_allclose(np.asarray(out.fi_mean), np.asarray(local.fi_mean),
+                               rtol=1e-9, atol=1e-9)
+    r = mc_metrics_sharded(jnp.moveaxis(x, -1, 0)[:12], out, mesh)
+    assert np.isfinite(float(r))
+
+
+def test_mesh_and_metric_guards(setup):
+    dyn, obs, x, y = setup
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(fb=16)                            # 8 devices -> dp = 0
+    mesh = make_mesh(dp=8)
+    ukf = st.UnscentedKalman(dyn, obs)
+    batch = jnp.moveaxis(y, -1, 0)
+    out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, batch, mesh)
+    bank_like = out.replace(fi_mean=out.fi_mean[None])   # (1, M, D, N)
+    with pytest.raises(ValueError, match="must match"):
+        mc_metrics_sharded(jnp.moveaxis(x, -1, 0), bank_like, mesh)
