@@ -40,49 +40,49 @@ class RBFGaussDer(RBFGauss):
 
     def eval(self, par, x1, x2=None, diag=False, scaling=True, which_der=None):
         """Joint kernel matrix ``[[Kff, Kfd], [Kfd^T, Kdd]]``
-        (``gpqd_base.py:135-187``)."""
+        (``gpqd_base.py:135-187``).
+
+        With ``x2`` given (the prediction cross-covariance case) the result is
+        ``[Kff(x1, x2), Kfd(x1, x2_der)]`` — rows over ``x1``'s function
+        values, columns over ``x2``'s function values then derivative blocks;
+        ``which_der`` indexes ``x2``'s points.
+        """
+        if diag:
+            return super().eval(par, x1, x2, diag=True, scaling=scaling)
         sym = x2 is None
         if x2 is None:
             x2 = x1
-        alpha, ell = _unpack_rbf(par)
-        alpha = alpha if scaling else 1.0
+        _, ell = _unpack_rbf(par)
         inv_lam = ell ** -2
+        Kff = super().eval(par, x1, x2, diag=False, scaling=scaling)     # (N1, N2)
 
-        s1 = x1 / ell[:, None]
-        s2 = x2 / ell[:, None]
-        if diag:
-            dx = s1 - s2
-            return jnp.exp(2.0 * jnp.log(alpha) - 0.5 * jnp.sum(dx * dx, axis=0))
-        from ..utils.linalg import maha
-        Kff = jnp.exp(2.0 * jnp.log(alpha) - 0.5 * maha(s1.T, s2.T))  # (N1, N2)
-
-        n1 = x1.shape[1]
-        which_der = jnp.arange(n1) if which_der is None else jnp.asarray(which_der)
+        n2 = x2.shape[1]
+        which_der = jnp.arange(n2) if which_der is None else jnp.asarray(which_der)
         nd = which_der.shape[0]
         d = x1.shape[0]
 
-        # Lam^-1-scaled points; the reference's pairwise difference is
-        # ``XmX[:, i, j] = (Lam^-1 x2)[:, i] - (Lam^-1 x1)[:, j]``
-        # (``gpqd_base.py:164-167``) — rows indexed by x2, columns by x1.
+        # Lam^-1-scaled pairwise differences, rows over x1, columns over x2
+        # (cf. ``gpqd_base.py:164-167``): XmX[d, i, j] = (Lam^-1(x1_i - x2_j))[d]
         z1 = inv_lam[:, None] * x1
         z2 = inv_lam[:, None] * x2
-        XmX = z2[:, :, None] - z1[:, None, :]                            # (D, N2, N1)
+        XmX = z1[:, :, None] - z2[:, None, :]                            # (D, N1, N2)
 
-        # Kfd[i, (j, d)] = Kff[i, j_d] * XmX[d, i, j_d]   (gpqd_base.py:170-175)
+        # Kfd[i, (j, d)] = cov(f(x1_i), df(x2_j)/dx[d]) = Kff[i, j_d] * XmX[d, i, j_d]
+        # (gpqd_base.py:170-175)
         Kfd = jnp.einsum("ij,dij->ijd", Kff[:, which_der], XmX[:, :, which_der])
         Kfd = Kfd.reshape(-1, nd * d)
 
+        if not sym:
+            return jnp.concatenate([Kff, Kfd], axis=1)
+
         # Kdd[(i,d1),(j,d2)] = Kff[i_d, j_d] * (Lam^-1[d1,d2] - XmX[d1,i,j] XmX[d2,i,j])
-        # (gpqd_base.py:177-183); on the derivative block x1 == x2.
+        # (gpqd_base.py:177-183); the derivative block lives on x1 == x2.
         Kff_dd = Kff[jnp.ix_(which_der, which_der)]
         Xd = XmX[:, which_der][:, :, which_der]                          # (D, Nd, Nd)
         outer = jnp.einsum("aij,bij->ijab", Xd, Xd)                      # (Nd, Nd, D, D)
         Kdd = Kff_dd[:, :, None, None] * (jnp.diag(inv_lam)[None, None] - outer)
         Kdd = jnp.transpose(Kdd, (0, 2, 1, 3)).reshape(nd * d, nd * d)
-
-        if sym:
-            return jnp.block([[Kff, Kfd], [Kfd.T, Kdd]])
-        return jnp.concatenate([Kff, Kfd], axis=1)
+        return jnp.block([[Kff, Kfd], [Kfd.T, Kdd]])
 
     def eval_inv_dot(self, par, x, b=None, scaling=True, which_der=None):
         """Jittered inverse of the joint kernel matrix (``gpqd_base.py:189-220``)."""
@@ -186,6 +186,28 @@ class GaussianProcessDerModel(GaussianProcessModel):
         wd = tuple(range(num_pts)) if which_der is None else tuple(int(i) for i in which_der)
         return cls(kernel=kernel, points=points, dim_in=dim, num_pts=num_pts,
                    str_pts=point_str, estimate_par=estimate_par, which_der=wd)
+
+    def predict(self, test_data, fcn_obs, x_obs=None, par=None):
+        """GP predictive mean/variance from JOINT function+derivative
+        observations.  ``fcn_obs`` stacks the N function values followed by
+        the Nd*D Jacobian entries in the weight/column layout produced by
+        :class:`GaussianProcessDerTransform` (the base class's predict is
+        incompatible with the joint Gram structure — it reshapes observations
+        to N rows)."""
+        x_obs = self.points if x_obs is None else x_obs
+        par = self.kernel.get_parameters(par)
+        wd = np.asarray(self.which_der)
+        iK = self.kernel.eval_inv_dot(par, x_obs, which_der=wd)
+        kx = self.kernel.eval(par, test_data, x_obs, which_der=wd)
+        kxx = self.kernel.eval(par, test_data, test_data, diag=True)
+        y = jnp.asarray(fcn_obs).reshape(-1)
+        if y.shape[0] != kx.shape[1]:
+            raise ValueError(
+                f"joint observations must stack {x_obs.shape[1]} function values "
+                f"and {len(wd) * x_obs.shape[0]} Jacobian entries; got {y.shape[0]}")
+        mean = kx @ iK @ y
+        var = kxx - jnp.einsum("im,mn,in->i", kx, iK, kx)
+        return mean, var
 
     def bq_weights(self, par=None, *args) -> BQWeights:
         """Joint function+derivative BQ weights (``gpqd_base.py:66-105``)."""

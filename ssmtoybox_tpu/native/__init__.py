@@ -37,9 +37,16 @@ def _load():
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                # compile to a process-unique temp file and rename into place:
+                # rename is atomic, so concurrent processes never CDLL a
+                # half-written library or truncate an inode another process
+                # has already dlopen'ed (the threading lock above only guards
+                # within this process)
+                tmp = f"{_LIB}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
                     check=True, capture_output=True)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.ssmtpu_n_sum_k.restype = ctypes.c_int64
             lib.ssmtpu_n_sum_k.argtypes = [
@@ -77,6 +84,11 @@ def n_sum_k(n: int, k: int):
     lib = _load()
     if lib is None:
         return None
+    # two calls (count, then fill): the column count follows the reference's
+    # quirky recursion (``utils.py:459-475``), NOT the stars-and-bars
+    # binomial, so it cannot be precomputed in closed form.  Both calls are
+    # trace-time-only (the result is a static constant of the compiled
+    # program), so the doubled enumeration is irrelevant in practice.
     count = lib.ssmtpu_n_sum_k(n, k, None, 0)
     out = np.zeros((n, count), dtype=np.int64)
     lib.ssmtpu_n_sum_k(n, k, _i64p(out), count)

@@ -194,7 +194,7 @@ def vandermonde(mul_ind, x, interpret: bool | None = None) -> jax.Array:
     in_dtype = x.dtype
 
     np_pad = _round_up(max(n, 1), 8)
-    dp = _round_up(max(d, 1), 1)
+    dp = max(d, 1)      # D axis needs no explicit alignment (Mosaic pads)
     qp = _round_up(max(q, 1), 128)
     mul_pad = np.zeros((dp, qp), dtype=np.int64)
     mul_pad[:d, :q] = mul_ind

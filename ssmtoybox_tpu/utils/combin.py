@@ -3,9 +3,12 @@
 Covers ``n_sum_k`` and the Numba-JIT ``vandermonde`` of the reference
 (``ssmtoybox/utils.py:459-502``).  ``n_sum_k`` is trace-time combinatorics and
 stays in NumPy (its output is a static constant baked into the compiled
-program); ``vandermonde`` is the compute-path function and is provided both as
-a one-liner jnp broadcast (XLA fuses it) and as a Pallas TPU kernel for large
-point sets (see :mod:`ssmtoybox_tpu.ops.pallas_ops`).
+program); ``vandermonde`` is the compute-path function, implemented as a loop
+of STATIC integer exponents (``x ** int(p)`` lowers to ``integer_pow``; a
+broadcasted ``jnp.power`` with an array exponent lowers to ``exp(p*log(x))``
+on TPU, which is NaN for the negative sigma-point coordinates — do not
+"simplify" it back) plus a Pallas TPU kernel for large point sets
+(see :mod:`ssmtoybox_tpu.ops.pallas_ops`).
 """
 from __future__ import annotations
 

@@ -324,3 +324,47 @@ class TestGPQD:
         assert w.wm.shape == (n_tilde,)
         assert w.Wc.shape == (n_tilde, n_tilde)
         assert w.Wcc.shape == (2, n_tilde)
+
+
+class TestGPQDCrossEval:
+    """Regression: the derivative kernel's cross-covariance case (x1 != x2,
+    the predict path) used to crash for unequal point counts and returned a
+    wrong Kfd orientation for equal ones (the Gram/weights path was always
+    correct, which is why golden parity never caught it)."""
+
+    def test_cross_kfd_matches_finite_differences(self):
+        kern = RBFGaussDer.create(2, np.array([[1.0, 1.5, 2.0]]))
+        par = kern.par
+        rng = np.random.default_rng(0)
+        x1 = jnp.asarray(rng.standard_normal((2, 3)))
+        x2 = jnp.asarray(rng.standard_normal((2, 5)))
+        K = kern.eval(par, x1, x2)
+        assert K.shape == (3, 5 + 5 * 2)
+
+        def kf(xi, xj):
+            return float(kern.eval(par, xi[:, None], xj[:, None])[0, 0])
+
+        eps = 1e-6
+        for i in range(3):
+            for j in range(5):
+                for d in range(2):
+                    e = np.zeros(2)
+                    e[d] = eps
+                    fd = (kf(x1[:, i], jnp.asarray(np.asarray(x2[:, j]) + e))
+                          - kf(x1[:, i], jnp.asarray(np.asarray(x2[:, j]) - e))) / (2 * eps)
+                    assert abs(fd - float(K[i, 5 + j * 2 + d])) < 1e-6
+
+    def test_joint_predict_interpolates(self):
+        """predict() consumes stacked function+Jacobian observations and
+        interpolates them (the inherited base predict was incompatible with
+        the joint Gram structure)."""
+        m = GaussianProcessDerModel.create(2, np.array([[1.0, 1.5, 2.0]]))
+        f = lambda x: jnp.sin(x[0]) + 0.5 * x[1] ** 2
+        fx = jnp.stack([f(m.points[:, i]) for i in range(m.num_pts)])
+        jac = jnp.concatenate([jax.jacfwd(f)(m.points[:, i]) for i in range(m.num_pts)])
+        mean, var = m.predict(m.points[:, :2], jnp.concatenate([fx, jac]))
+        true = np.array([float(f(m.points[:, i])) for i in range(2)])
+        np.testing.assert_allclose(np.asarray(mean), true, atol=1e-4)
+        assert np.all(np.asarray(var) > -1e-9)
+        with pytest.raises(ValueError, match="Jacobian entries"):
+            m.predict(m.points[:, :2], fx)
