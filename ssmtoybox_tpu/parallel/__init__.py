@@ -2,6 +2,8 @@
 from .mesh import make_mesh, shard_mc, filter_mc_sharded, filter_bank_sharded, mc_metrics_sharded
 from .fit import nlml_loss, make_fit_step, fit_kernel_params
 from .timescan import parallel_linear_filter, parallel_linear_smoother
+from .sqrttime import (parallel_affine_sqrt_filter, parallel_affine_sqrt_smoother,
+                       parallel_linear_sqrt_filter, parallel_linear_sqrt_smoother)
 from .iplf import (slr_affine, parallel_affine_filter, parallel_affine_smoother,
                    IteratedSmootherResult, iterated_parallel_smoother)
 
@@ -9,6 +11,8 @@ __all__ = [
     "make_mesh", "shard_mc", "filter_mc_sharded", "filter_bank_sharded", "mc_metrics_sharded",
     "nlml_loss", "make_fit_step", "fit_kernel_params",
     "parallel_linear_filter", "parallel_linear_smoother",
+    "parallel_affine_sqrt_filter", "parallel_affine_sqrt_smoother",
+    "parallel_linear_sqrt_filter", "parallel_linear_sqrt_smoother",
     "slr_affine", "parallel_affine_filter", "parallel_affine_smoother",
     "IteratedSmootherResult", "iterated_parallel_smoother",
 ]

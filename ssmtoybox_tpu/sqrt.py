@@ -30,7 +30,7 @@ from flax import struct
 from .mtran import (SigmaPointTransform, apply_f_columns, SphericalRadialTransform,
                     UnscentedTransform, GaussHermiteTransform,
                     FullySymmetricStudentTransform)
-from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small)
+from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small, tria)
 
 __all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
            "SquareRootKalman", "SqrtOnlineState", "SqrtStepInfo",
@@ -48,18 +48,9 @@ class SqrtFilterResult(struct.PyTreeNode):
     pr_sqrt: jax.Array
 
 
-def _qr_factor(cols: jax.Array) -> jax.Array:
-    """Lower-triangular factor of ``cols @ cols^T`` via QR of ``cols^T``.
-
-    ``cols`` is (..., D, M) with M >= D; returns (..., D, D) with a positive
-    diagonal.  One fused batched QR replaces forming the covariance and
-    refactorizing it — and never squares the conditioning, which is the point
-    of the square-root form in f32.
-    """
-    r = jnp.linalg.qr(jnp.swapaxes(cols, -1, -2), mode="r")
-    sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
-    sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)
-    return jnp.swapaxes(r * sgn[..., :, None], -1, -2)
+# shared QR triangularization (promoted to utils.linalg for the time-parallel
+# square-root module); kept under its historical local name
+_qr_factor = tria
 
 
 def _rule_arrays(tf, what: str):

@@ -31,6 +31,7 @@ __all__ = [
     "tri_solve_small",
     "small_matmul",
     "small_mm3",
+    "tria",
 ]
 
 #: Default diagonal jitter used to stabilize Gram-matrix inversions
@@ -268,6 +269,20 @@ def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
 def small_mm3(a: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """``a @ w @ b`` through :func:`small_matmul` (both contractions small)."""
     return small_matmul(small_matmul(a, w), b)
+
+
+def tria(cols: jax.Array) -> jax.Array:
+    """Lower-triangular factor of ``cols @ cols^T`` via QR of ``cols^T``.
+
+    ``cols`` is (..., D, M) with M >= D; returns (..., D, D) with a positive
+    diagonal.  The square-root filters' workhorse: one fused batched QR
+    replaces forming a covariance and refactorizing it — and never squares
+    the conditioning, which is the point of the square-root form in f32.
+    """
+    r = jnp.linalg.qr(jnp.swapaxes(cols, -1, -2), mode="r")
+    sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)
+    return jnp.swapaxes(r * sgn[..., :, None], -1, -2)
 
 
 def pd_logdet(A: jax.Array) -> jax.Array:

@@ -1,0 +1,132 @@
+"""Time-parallel SQUARE-ROOT filter/smoother: equivalence + f32 stability."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu.parallel.timescan import (parallel_linear_filter,
+                                             parallel_linear_smoother)
+from ssmtoybox_tpu.parallel.sqrttime import (parallel_affine_sqrt_filter,
+                                             parallel_affine_sqrt_smoother,
+                                             parallel_linear_sqrt_filter,
+                                             parallel_linear_sqrt_smoother)
+from ssmtoybox_tpu.ssmod import ConstantVelocity, MeasurementModel
+from ssmtoybox_tpu.utils import GaussRV
+
+from test_timescan import LinearPositionMeasurement, _setup
+
+
+def _sqrt_inputs(F, Q, H, R, x0):
+    # low-rank process noise: factor through the CV noise gain (D=4, Dq=2)
+    SQ = np.linalg.cholesky(Q + 1e-12 * np.eye(4))
+    SR = np.linalg.cholesky(R)
+    S0 = np.linalg.cholesky(np.asarray(x0.cov))
+    return SQ, SR, S0
+
+
+def test_parallel_sqrt_filter_matches_full_cov():
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup()
+    SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
+    fm_full, fP_full = parallel_linear_filter(F, Q, H, R, x0.mean, x0.cov, y)
+    fm_sq, fS_sq = parallel_linear_sqrt_filter(F, SQ, H, SR, x0.mean, S0, y)
+    fP_sq = jnp.einsum("ijn,kjn->ikn", fS_sq, fS_sq)
+    np.testing.assert_allclose(np.asarray(fm_sq), np.asarray(fm_full),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fP_sq), np.asarray(fP_full),
+                               rtol=1e-8, atol=1e-8)
+    # factors are lower-triangular with positive diagonals
+    fS = np.moveaxis(np.asarray(fS_sq), -1, 0)
+    assert np.all(np.diagonal(fS, axis1=-2, axis2=-1) > 0)
+    assert np.allclose(fS, np.tril(fS))
+
+
+def test_parallel_sqrt_filter_matches_sequential_sqrt():
+    """Cross-check against the sequential square-root scan filter."""
+    from ssmtoybox_tpu.sqrt import make_sqrt_filter
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup()
+    SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
+    seq = make_sqrt_filter(dyn, obs, st.UnscentedKalman(dyn, obs).tf_dyn,
+                           st.UnscentedKalman(dyn, obs).tf_obs)(jnp.asarray(y))
+    fm_sq, fS_sq = parallel_linear_sqrt_filter(F, SQ, H, SR, x0.mean, S0, y)
+    np.testing.assert_allclose(np.asarray(fm_sq), np.asarray(seq.fi_mean),
+                               rtol=1e-8, atol=1e-8)
+    P_par = jnp.einsum("ijn,kjn->ikn", fS_sq, fS_sq)
+    P_seq = jnp.einsum("ijn,kjn->ikn", seq.fi_sqrt, seq.fi_sqrt)
+    np.testing.assert_allclose(np.asarray(P_par), np.asarray(P_seq),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_parallel_sqrt_smoother_matches_full_cov():
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup()
+    SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
+    fm_full, fP_full = parallel_linear_filter(F, Q, H, R, x0.mean, x0.cov, y)
+    sm_full, sP_full = parallel_linear_smoother(F, Q, fm_full, fP_full)
+    fm_sq, fS_sq = parallel_linear_sqrt_filter(F, SQ, H, SR, x0.mean, S0, y)
+    sm_sq, sS_sq = parallel_linear_sqrt_smoother(F, SQ, fm_sq, fS_sq)
+    sP_sq = jnp.einsum("ijn,kjn->ikn", sS_sq, sS_sq)
+    np.testing.assert_allclose(np.asarray(sm_sq), np.asarray(sm_full),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sP_sq), np.asarray(sP_full),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_affine_time_varying_matches_full_cov():
+    """Per-step coefficients (not just broadcast constants) agree too."""
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=48)
+    n = y.shape[-1]
+    rng = np.random.default_rng(3)
+    # mildly perturbed time-varying affine model around the CV baseline
+    Fs = np.repeat(F[None], n, axis=0) + 0.01 * rng.standard_normal((n, 4, 4))
+    bs = 0.1 * rng.standard_normal((n, 4))
+    Hs = np.repeat(H[None], n, axis=0) + 0.01 * rng.standard_normal((n, 2, 4))
+    cs = 0.1 * rng.standard_normal((n, 2))
+    Qs = np.repeat((Q + 1e-6 * np.eye(4))[None], n, axis=0)
+    Rs = np.repeat(R[None], n, axis=0)
+    SQs = np.linalg.cholesky(Qs)
+    SRs = np.linalg.cholesky(Rs)
+    S0 = np.linalg.cholesky(np.asarray(x0.cov))
+
+    from ssmtoybox_tpu.parallel.timescan import (parallel_affine_filter,
+                                                 parallel_affine_smoother)
+    fm_full, fP_full = parallel_affine_filter(Fs, bs, Qs, Hs, cs, Rs,
+                                              x0.mean, x0.cov, y)
+    fm_sq, fS_sq = parallel_affine_sqrt_filter(Fs, bs, SQs, Hs, cs, SRs,
+                                               x0.mean, S0, y)
+    fP_sq = jnp.einsum("ijn,kjn->ikn", fS_sq, fS_sq)
+    np.testing.assert_allclose(np.asarray(fm_sq), np.asarray(fm_full),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fP_sq), np.asarray(fP_full),
+                               rtol=1e-7, atol=1e-7)
+
+    sm_full, sP_full = parallel_affine_smoother(Fs, bs, Qs, fm_full, fP_full)
+    sm_sq, sS_sq = parallel_affine_sqrt_smoother(Fs, bs, SQs, fm_sq, fS_sq)
+    sP_sq = jnp.einsum("ijn,kjn->ikn", sS_sq, sS_sq)
+    np.testing.assert_allclose(np.asarray(sm_sq), np.asarray(sm_full),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sP_sq), np.asarray(sP_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_f32_long_record_stays_pd():
+    """f32 + 2048 steps: the factor recursion keeps positive diagonals and
+    tracks the f64 full-covariance result — the serving scenario that
+    motivates the square-root form."""
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=2048)
+    SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
+    to32 = lambda a: jnp.asarray(a, jnp.float32)
+    fm32, fS32 = parallel_linear_sqrt_filter(
+        to32(F), to32(SQ), to32(H), to32(SR), to32(x0.mean), to32(S0), to32(y))
+    assert fm32.dtype == jnp.float32
+    assert bool(jnp.isfinite(fm32).all())
+    diag = jnp.diagonal(jnp.moveaxis(fS32, -1, 0), axis1=-2, axis2=-1)
+    assert bool((diag > 0).all())
+
+    fm64, _ = parallel_linear_filter(F, Q, H, R, x0.mean, x0.cov, y)
+    err = np.max(np.abs(np.asarray(fm32, np.float64) - np.asarray(fm64)))
+    scale = np.max(np.abs(np.asarray(fm64)))
+    assert err / scale < 1e-3
+
+    sm32, sS32 = parallel_linear_sqrt_smoother(to32(F), to32(SQ), fm32, fS32)
+    assert bool(jnp.isfinite(sm32).all())
+    sdiag = jnp.diagonal(jnp.moveaxis(sS32, -1, 0), axis1=-2, axis2=-1)
+    assert bool((sdiag > 0).all())
