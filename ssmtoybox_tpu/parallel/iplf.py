@@ -41,8 +41,10 @@ from flax import struct
 from jax.scipy.linalg import block_diag
 
 from ..ssinf import _tf_apply
-from ..utils.linalg import pd_solve_small, small_matmul, small_mm3, symmetrize
+from ..utils.linalg import (chol_small_psd, pd_solve_small, small_matmul,
+                            small_mm3, symmetrize)
 from .timescan import parallel_affine_filter, parallel_affine_smoother
+from .sqrttime import parallel_affine_sqrt_filter, parallel_affine_sqrt_smoother
 
 __all__ = [
     "slr_affine",
@@ -83,7 +85,9 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                                init_mean=None, init_cov=None,
                                theta_dyn=None, theta_obs=None,
                                init="observer", block_len: int = 2048,
-                               warmup: int = 512) -> IteratedSmootherResult:
+                               warmup: int = 512, sqrt: bool = False,
+                               dtype=None,
+                               chol_jitter: float = 0.0) -> IteratedSmootherResult:
     """Iterated posterior-linearization smoother with a time-parallel core.
 
     Per iteration: SLR of the dynamics/measurement about the current smoothed
@@ -134,13 +138,31 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     covariance ``A_q Q A_qᵀ + Omega``.  Time conventions match the sequential
     filter: step ``k`` (1-based) evaluates both models at ``time = k-1``
     (``ssinf.py:276,287``).
+
+    ``sqrt=True`` routes the affine passes through the time-parallel
+    SQUARE-ROOT filter/smoother (:mod:`ssmtoybox_tpu.parallel.sqrttime`):
+    filtered/smoothed covariances are carried as Cholesky factors and stay PD
+    by construction, which makes ``dtype=jnp.float32`` — the TPU fast path —
+    usable on long records where the full-covariance recursion loses
+    definiteness.  ``dtype`` casts the whole iteration (prior, data, SLR,
+    scans); the per-step effective noise enters the scans as stacked factor
+    columns ``[chol_psd(Omega), noise_map·chol(Q)]`` (never summed into a
+    covariance — rank-deficient pieces stay exact), and ``chol_jitter`` adds
+    a diagonal stabilizer before the residual factorization (0 is fine in
+    f64; f32 runs on stiff models may need ~1e-6 of the noise scale).
+    Returned covariances are reconstituted ``S Sᵀ`` (PSD by construction).
     """
     m0, P0 = mod_dyn.init_rv.get_stats()[:2]
     m0 = jnp.asarray(m0 if init_mean is None else init_mean)
-    P0 = jnp.asarray(P0 if init_cov is None else init_cov)
-    q_mean, q_cov = mod_dyn.noise_rv.get_stats()[:2]
-    r_mean, r_cov = mod_obs.noise_rv.get_stats()[:2]
-    G = mod_dyn.noise_gain
+    if dtype is None:
+        dtype = m0.dtype
+    m0 = m0.astype(dtype)
+    P0 = jnp.asarray(P0 if init_cov is None else init_cov, dtype=dtype)
+    q_mean, q_cov = (jnp.asarray(a, dtype=dtype)
+                     for a in mod_dyn.noise_rv.get_stats()[:2])
+    r_mean, r_cov = (jnp.asarray(a, dtype=dtype)
+                     for a in mod_obs.noise_rv.get_stats()[:2])
+    G = jnp.asarray(mod_dyn.noise_gain, dtype=dtype)
     GQGt = small_mm3(G, q_cov, G.T)
     dim = m0.shape[0]
 
@@ -151,34 +173,97 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     # integer time stamps, like the sequential filter's k-1 (ssinf.py:183)
     times = jnp.arange(n_steps)
 
+    # pin the recursion dtype: model constants may live in f64 (x64 mode), so
+    # every SLR/model evaluation is cast back before entering the scans
+    _c = lambda a: jnp.asarray(a, dtype)
+
+    def _slr(tf, f, m, P, t, theta):
+        return tuple(_c(a) for a in slr_affine(tf, f, m, P, t, theta))
+
     def slr_dyn(m, P, t):
         """SLR of the dynamics about N(m, P) -> (F, b, Q_eff)."""
         if mod_dyn.noise_additive:
-            F, b, Om = slr_affine(tf_dyn, mod_dyn.dyn_eval, m, P, t, theta_dyn)
+            F, b, Om = _slr(tf_dyn, mod_dyn.dyn_eval, m, P, t, theta_dyn)
             return F, b, Om + GQGt
-        A, b, Om = slr_affine(tf_dyn, mod_dyn.dyn_eval,
-                              jnp.concatenate([m, q_mean]),
-                              block_diag(P, q_cov), t, theta_dyn)
+        A, b, Om = _slr(tf_dyn, mod_dyn.dyn_eval,
+                        jnp.concatenate([m, q_mean]),
+                        block_diag(P, q_cov), t, theta_dyn)
         F, Aq = A[:, :dim], A[:, dim:]
         return F, b + small_matmul(Aq, q_mean), Om + small_mm3(Aq, q_cov, Aq.T)
 
     def slr_obs(m, P, t):
         """SLR of the measurement about N(m, P) -> (H, c, R_eff)."""
         if mod_obs.noise_additive:
-            H, c, Gm = slr_affine(tf_obs, mod_obs.meas_eval, m, P, t, theta_obs)
+            H, c, Gm = _slr(tf_obs, mod_obs.meas_eval, m, P, t, theta_obs)
             return H, c, Gm + r_cov
-        A, c, Gm = slr_affine(tf_obs, mod_obs.meas_eval,
-                              jnp.concatenate([m, r_mean]),
-                              block_diag(P, r_cov), t, theta_obs)
+        A, c, Gm = _slr(tf_obs, mod_obs.meas_eval,
+                        jnp.concatenate([m, r_mean]),
+                        block_diag(P, r_cov), t, theta_obs)
         H, Ar = A[:, :dim], A[:, dim:]
         return H, c + small_matmul(Ar, r_mean), Gm + small_mm3(Ar, r_cov, Ar.T)
 
+    if sqrt:
+        dim_y = data.shape[0]
+        S0 = chol_small_psd(P0 + chol_jitter * jnp.eye(dim, dtype=dtype))
+        eye_d = jnp.eye(dim, dtype=dtype)
+        eye_e = jnp.eye(dim_y, dtype=dtype)
+        # static noise factor columns (additive models); per-step noise maps
+        # of non-additive models re-scale these columns with the SLR's A_q/A_r
+        Lq = chol_small_psd(q_cov)
+        Lr = chol_small_psd(r_cov)
+        Gq_cols = small_matmul(G, Lq)
+
+        def slr_dyn_sqrt(m, P, t):
+            """SLR -> (F, b, noise factor COLUMNS): the effective process
+            noise ``Omega + (noise map) Q (noise map)ᵀ`` enters the scans as
+            stacked columns ``[chol_psd(Omega), noise_map·chol(Q)]`` — never
+            summed into a covariance, so rank-deficient pieces (Omega == 0 on
+            linear models, thin noise gains) stay exact."""
+            if mod_dyn.noise_additive:
+                F, b, Om = _slr(tf_dyn, mod_dyn.dyn_eval, m, P, t, theta_dyn)
+                cols = jnp.concatenate(
+                    [chol_small_psd(Om + chol_jitter * eye_d), Gq_cols], axis=-1)
+                return F, b, cols
+            A, b, Om = _slr(tf_dyn, mod_dyn.dyn_eval,
+                            jnp.concatenate([m, q_mean]),
+                            block_diag(P, q_cov), t, theta_dyn)
+            F, Aq = A[:, :dim], A[:, dim:]
+            cols = jnp.concatenate(
+                [chol_small_psd(Om + chol_jitter * eye_d),
+                 small_matmul(Aq, Lq)], axis=-1)
+            return F, b + small_matmul(Aq, q_mean), cols
+
+        def slr_obs_sqrt(m, P, t):
+            if mod_obs.noise_additive:
+                H, c, Gm = _slr(tf_obs, mod_obs.meas_eval, m, P, t, theta_obs)
+                cols = jnp.concatenate(
+                    [chol_small_psd(Gm + chol_jitter * eye_e), Lr], axis=-1)
+                return H, c, cols
+            A, c, Gm = _slr(tf_obs, mod_obs.meas_eval,
+                            jnp.concatenate([m, r_mean]),
+                            block_diag(P, r_cov), t, theta_obs)
+            H, Ar = A[:, :dim], A[:, dim:]
+            cols = jnp.concatenate(
+                [chol_small_psd(Gm + chol_jitter * eye_e),
+                 small_matmul(Ar, Lr)], axis=-1)
+            return H, c + small_matmul(Ar, r_mean), cols
+
     def one_pass(lin_m, lin_P):
         # lin_m: (N+1, D) marginal means at times 0..N; lin_P: (N+1, D, D)
-        Fs, bds, Qs = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
-        Hs, cs, Rs = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
-        fi_m, fi_P = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
-        sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_P)
+        if sqrt:
+            Fs, bds, SQs = jax.vmap(slr_dyn_sqrt)(lin_m[:-1], lin_P[:-1], times)
+            Hs, cs, SRs = jax.vmap(slr_obs_sqrt)(lin_m[1:], lin_P[1:], times)
+            Qs = small_matmul(SQs, jnp.swapaxes(SQs, -1, -2))  # step-0 refresh
+            fi_m, fi_S = parallel_affine_sqrt_filter(Fs, bds, SQs, Hs, cs, SRs,
+                                                     m0, S0, data)
+            sm_m, sm_S = parallel_affine_sqrt_smoother(Fs, bds, SQs, fi_m, fi_S)
+            fi_P = jnp.einsum("ijn,kjn->ikn", fi_S, fi_S)
+            sm_P = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+        else:
+            Fs, bds, Qs = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
+            Hs, cs, Rs = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
+            fi_m, fi_P = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
+            sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_P)
 
         # smooth the prior-time state to refresh the step-0 linearization point
         Pp1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
@@ -192,15 +277,15 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
 
     # mean-evaluation wrappers: non-additive models take augmented columns
     if mod_dyn.noise_additive:
-        f_mean = lambda m, t: jnp.atleast_1d(mod_dyn.dyn_eval(m, t))
+        f_mean = lambda m, t: _c(jnp.atleast_1d(mod_dyn.dyn_eval(m, t)))
     else:
-        f_mean = lambda m, t: jnp.atleast_1d(
-            mod_dyn.dyn_eval(jnp.concatenate([m, q_mean]), t))
+        f_mean = lambda m, t: _c(jnp.atleast_1d(
+            mod_dyn.dyn_eval(jnp.concatenate([m, q_mean]), t)))
     if mod_obs.noise_additive:
-        h_mean = lambda x, t: jnp.atleast_1d(mod_obs.meas_eval(x, t))
+        h_mean = lambda x, t: _c(jnp.atleast_1d(mod_obs.meas_eval(x, t)))
     else:
-        h_mean = lambda x, t: jnp.atleast_1d(
-            mod_obs.meas_eval(jnp.concatenate([x, r_mean]), t))
+        h_mean = lambda x, t: _c(jnp.atleast_1d(
+            mod_obs.meas_eval(jnp.concatenate([x, r_mean]), t)))
 
     if not isinstance(init, str):
         lin_m = jnp.asarray(init, dtype=m0.dtype)

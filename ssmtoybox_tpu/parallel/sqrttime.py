@@ -88,7 +88,7 @@ def _sqrt_filter_elements(Fs, bs, SQs, Hs, cs, SRs, m0, S0, ys):
         # Psi = tria([[H SQ, SR], [SQ, 0]]):  Psi11 = sqrt(H Q Hᵀ + R),
         # Psi21 = Q Hᵀ Psi11⁻ᵀ,  Psi22 = sqrt((I − K H) Q)
         hsq = small_matmul(H, SQ)
-        zeros = jnp.zeros((d, e), dtype=m0.dtype)
+        zeros = jnp.zeros((d, SR.shape[-1]), dtype=m0.dtype)
         top = jnp.concatenate([hsq, SR], axis=-1)
         bot = jnp.concatenate([SQ, zeros], axis=-1)
         Psi = _tria_pad(jnp.concatenate([top, bot], axis=-2))
@@ -115,7 +115,8 @@ def _sqrt_filter_elements(Fs, bs, SQs, Hs, cs, SRs, m0, S0, ys):
     SP1 = _tria_pad(jnp.concatenate([small_matmul(Fs[0], S0), SQs[0]], axis=-1))
     hsp = small_matmul(Hs[0], SP1)
     top = jnp.concatenate([hsp, SRs[0]], axis=-1)
-    bot = jnp.concatenate([SP1, jnp.zeros((d, e), dtype=m0.dtype)], axis=-1)
+    bot = jnp.concatenate([SP1, jnp.zeros((d, SRs.shape[-1]), dtype=m0.dtype)],
+                          axis=-1)
     Psi = _tria_pad(jnp.concatenate([top, bot], axis=-2))
     Psi11, Psi21, U0 = Psi[:e, :e], Psi[e:, :e], Psi[e:, e:]
     K1 = jnp.swapaxes(tri_solve_small(
@@ -181,9 +182,11 @@ def parallel_affine_sqrt_filter(Fs, bs, SQs, Hs, cs, SRs, m0, S0, data
 
     Same model/indexing as
     :func:`~ssmtoybox_tpu.parallel.timescan.parallel_affine_filter`, but all
-    covariances enter and leave as lower Cholesky factors: ``SQs (N, D, Dq)``
-    and ``SRs (N, E, E)`` are noise-covariance factors (``Dq < D`` — low-rank
-    process noise through a gain — is fine), ``S0`` the prior factor.
+    covariances enter and leave as lower Cholesky factors: ``SQs (N, D, Mq)``
+    and ``SRs (N, E, Mr)`` are noise-covariance factor COLUMNS — any column
+    count works, square Cholesky factors, thin gain-scaled factors
+    (``Mq < D``) and stacked multi-source columns alike; ``S0`` is the prior
+    factor.
     Returns ``(fi_mean (D, N), fi_sqrt (D, D, N))`` with
     ``fi_sqrt[..., k] fi_sqrt[..., k]ᵀ`` equal (to rounding) to the
     sequential filtered covariance — and PD by construction in f32.

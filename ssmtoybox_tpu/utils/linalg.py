@@ -25,6 +25,7 @@ __all__ = [
     "symmetrize",
     "ellipse_points",
     "chol_small",
+    "chol_small_psd",
     "cholupdate_small",
     "cho_solve_small",
     "pd_solve_small",
@@ -150,6 +151,43 @@ def chol_small(a: jax.Array) -> jax.Array:
                 col[i][j] = jnp.sqrt(s)
             else:
                 col[i][j] = s / col[j][j]
+    zero = jnp.zeros_like(a[..., 0, 0])
+    rows = [jnp.stack([col[i][j] if j <= i else zero for j in range(d)], axis=-1)
+            for i in range(d)]
+    return jnp.stack(rows, axis=-2)
+
+
+def chol_small_psd(a: jax.Array) -> jax.Array:
+    """Clamped :func:`chol_small` for positive SEMI-definite small matrices.
+
+    Rank-deficient inputs are routine in the square-root paths: SLR residual
+    covariances are exactly zero on linear models, and ``G Q Gᵀ`` process
+    noise through a thin gain has rank ``dim_q < D``.  A plain Cholesky
+    recurrence NaNs on the zero pivots (0/0); here each pivot is clamped at
+    zero and columns under a scale-relative cutoff ``sqrt(max_diag · eps) · D``
+    are zeroed, so ``L Lᵀ = a`` up to the clamp (error ≤ the cutoff², i.e.
+    rounding-level for PSD inputs).  Elementwise over the batch like
+    :func:`chol_small`; no eigh/SVD, so it runs on the TPU f64 path too.
+    """
+    d = a.shape[-1]
+    if d > SMALL_DIM_MAX:
+        return safe_cholesky(a)
+    eps = jnp.finfo(a.dtype).eps
+    diag = jnp.stack([a[..., i, i] for i in range(d)], axis=-1)
+    scale = jnp.clip(jnp.max(diag, axis=-1), jnp.finfo(a.dtype).tiny)
+    tol = jnp.sqrt(scale * eps) * d
+    col = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - col[i][k] * col[j][k]
+            if i == j:
+                col[i][j] = jnp.sqrt(jnp.clip(s, 0.0))
+            else:
+                piv = col[j][j]
+                ok = piv > tol
+                col[i][j] = jnp.where(ok, s / jnp.where(ok, piv, 1.0), 0.0)
     zero = jnp.zeros_like(a[..., 0, 0])
     rows = [jnp.stack([col[i][j] if j <= i else zero for j in range(d)], axis=-1)
             for i in range(d)]

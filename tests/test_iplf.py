@@ -316,6 +316,46 @@ def test_iplf_with_bq_transform():
     assert rmse(res.sm_mean) <= 3.0 * rmse(res_ut.sm_mean)
 
 
+def test_sqrt_mode_matches_full_cov_on_linear_model():
+    """sqrt=True carries Cholesky factors through the scans; on a linear
+    model one iteration must still equal the sequential UKF/RTS."""
+    dyn, obs, y = _linear_setup()
+    ukf = st.UnscentedKalman(dyn, obs)
+    fm_seq, fP_seq = ukf.forward_pass(y)
+    sm_seq, sP_seq = ukf.backward_pass(rts_full=True)
+    res = iterated_parallel_smoother(dyn, obs, UnscentedTransform(4),
+                                     UnscentedTransform(4), y, iterations=1,
+                                     sqrt=True)
+    np.testing.assert_allclose(np.asarray(res.fi_mean), np.asarray(fm_seq),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.fi_cov), np.asarray(fP_seq),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.sm_mean), np.asarray(sm_seq),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.sm_cov), np.asarray(sP_seq),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sqrt_mode_f32_pendulum():
+    """The serving configuration: f32 square-root iteration on a nonlinear
+    record stays finite, keeps every covariance PSD, and tracks the f64
+    full-covariance result."""
+    dyn, obs, x_true, y = _pendulum_setup(steps=500)
+    tf = UnscentedTransform(2)
+    res64 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3)
+    res32 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3,
+                                       sqrt=True, dtype=jnp.float32,
+                                       chol_jitter=1e-7)
+    assert res32.sm_mean.dtype == jnp.float32
+    assert bool(jnp.isfinite(res32.sm_mean).all())
+    assert bool(jnp.isfinite(res32.sm_cov).all())
+    # S Sᵀ reconstruction is PSD by construction
+    eigs = np.linalg.eigvalsh(np.moveaxis(np.asarray(res32.sm_cov, np.float64), -1, 0))
+    assert eigs.min() >= -1e-10
+    rmse = lambda m: float(jnp.sqrt(jnp.mean((jnp.asarray(m, jnp.float64) - x_true) ** 2)))
+    assert rmse(res32.sm_mean) <= 1.05 * rmse(res64.sm_mean)
+
+
 def test_iterated_smoother_jits_and_vmaps():
     dyn, obs, _, y = _pendulum_setup(steps=64)
     tf = UnscentedTransform(2)

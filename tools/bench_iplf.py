@@ -60,9 +60,13 @@ def main():
             sm, sP = gaussian_smoother(res, rts_full=True)
             return res.fi_mean, sm
 
+        use_sqrt = "--sqrt" in sys.argv
+
         @jax.jit
         def par(data):
-            r = iterated_parallel_smoother(dyn, obs, tf, tf, data, iterations=2)
+            r = iterated_parallel_smoother(dyn, obs, tf, tf, data, iterations=2,
+                                           sqrt=use_sqrt, dtype=dtype,
+                                           chol_jitter=0.0 if f64 else 1e-7)
             return r.fi_mean, r.sm_mean
 
         sync(seq(y)); sync(par(y))                      # compile
@@ -72,8 +76,10 @@ def main():
         fm_s, sm_s = seq(y)
         fm_p, sm_p = par(y)
         xt = x[..., 0]
-        rm = lambda m: float(jnp.sqrt(jnp.mean((m - xt) ** 2)))
-        print(f"steps={steps:>7d}  seq={t_seq*1e3:9.2f} ms  ipls(2)={t_par*1e3:9.2f} ms  "
+        rm = lambda m: float(jnp.sqrt(jnp.mean((jnp.asarray(m, jnp.float64) -
+                                                jnp.asarray(xt, jnp.float64)) ** 2)))
+        tag = "sqrt-ipls(2)" if use_sqrt else "ipls(2)"
+        print(f"steps={steps:>7d}  seq={t_seq*1e3:9.2f} ms  {tag}={t_par*1e3:9.2f} ms  "
               f"speedup={t_seq/t_par:6.2f}x  rmse seq/par smooth: {rm(sm_s):.4f}/{rm(sm_p):.4f}",
               flush=True)
 
