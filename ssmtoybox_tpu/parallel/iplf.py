@@ -42,9 +42,10 @@ from jax.scipy.linalg import block_diag
 
 from ..ssinf import _tf_apply
 from ..utils.linalg import (chol_small_psd, pd_solve_small, small_matmul,
-                            small_mm3, symmetrize)
+                            small_mm3, symmetrize, tri_solve_small, tria)
 from .timescan import parallel_affine_filter, parallel_affine_smoother
-from .sqrttime import parallel_affine_sqrt_filter, parallel_affine_sqrt_smoother
+from .sqrttime import (_tria_pad, parallel_affine_sqrt_filter,
+                       parallel_affine_sqrt_smoother)
 
 __all__ = [
     "slr_affine",
@@ -253,27 +254,43 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         if sqrt:
             Fs, bds, SQs = jax.vmap(slr_dyn_sqrt)(lin_m[:-1], lin_P[:-1], times)
             Hs, cs, SRs = jax.vmap(slr_obs_sqrt)(lin_m[1:], lin_P[1:], times)
-            Qs = small_matmul(SQs, jnp.swapaxes(SQs, -1, -2))  # step-0 refresh
-            fi_m, fi_S = parallel_affine_sqrt_filter(Fs, bds, SQs, Hs, cs, SRs,
-                                                     m0, S0, data)
-            sm_m, sm_S = parallel_affine_sqrt_smoother(Fs, bds, SQs, fi_m, fi_S)
-            fi_P = jnp.einsum("ijn,kjn->ikn", fi_S, fi_S)
+            fi_m, fi_cov = parallel_affine_sqrt_filter(Fs, bds, SQs, Hs, cs, SRs,
+                                                       m0, S0, data)
+            sm_m, sm_S = parallel_affine_sqrt_smoother(Fs, bds, SQs, fi_m, fi_cov)
+            # the next SLR consumes full smoothed covariances; the filtered
+            # factor is carried as-is and reconstituted once after the loop
             sm_P = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+
+            # step-0 refresh in FACTOR form (one joint QR, like the sqrt RTS
+            # element) — a subtractive full-covariance downdate here would be
+            # the single non-PD-safe operation in the f32 path
+            top = jnp.concatenate([small_matmul(Fs[0], S0), SQs[0]], axis=-1)
+            bot = jnp.concatenate([S0, jnp.zeros_like(SQs[0])], axis=-1)
+            L = _tria_pad(jnp.concatenate([top, bot], axis=-2))
+            L11, L21, L22 = L[:dim, :dim], L[dim:, :dim], L[dim:, dim:]
+            G0 = jnp.swapaxes(tri_solve_small(
+                jnp.swapaxes(L11, -1, -2), jnp.swapaxes(L21, -1, -2),
+                lower=False), -1, -2)
+            S0_s = tria(jnp.concatenate(
+                [L22, small_matmul(G0, sm_S[:, :, 0])], axis=-1))
+            P0_s = small_matmul(S0_s, S0_s.T)
         else:
             Fs, bds, Qs = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
             Hs, cs, Rs = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
-            fi_m, fi_P = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
-            sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_P)
+            fi_m, fi_cov = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
+            sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_cov)
 
-        # smooth the prior-time state to refresh the step-0 linearization point
-        Pp1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
-        G0 = pd_solve_small(Pp1, small_matmul(Fs[0], P0)).T
+            # smooth the prior-time state to refresh the step-0 linearization
+            Pp1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])
+            G0 = pd_solve_small(Pp1, small_matmul(Fs[0], P0)).T
+            P0_s = symmetrize(P0 + small_mm3(G0, sm_P[:, :, 0] - Pp1, G0.T))
+
         m0_s = m0 + small_matmul(G0, sm_m[:, 0] - (small_matmul(Fs[0], m0) + bds[0]))
-        P0_s = symmetrize(P0 + small_mm3(G0, sm_P[:, :, 0] - Pp1, G0.T))
-
         new_lin_m = jnp.concatenate([m0_s[None], sm_m.T], axis=0)
         new_lin_P = jnp.concatenate([P0_s[None], jnp.moveaxis(sm_P, -1, 0)], axis=0)
-        return new_lin_m, new_lin_P, fi_m, fi_P, sm_m, sm_P
+        # fi_cov is (D, D, N) covariances in full-cov mode, (D, D, N) Cholesky
+        # factors in sqrt mode (reconstituted after the iteration loop)
+        return new_lin_m, new_lin_P, fi_m, fi_cov, sm_m, sm_P
 
     # mean-evaluation wrappers: non-additive models take augmented columns
     if mod_dyn.noise_additive:
@@ -366,4 +383,7 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     carry = (lin_m, lin_P, fi_m, fi_P, fi_m, fi_P)
     carry = jax.lax.fori_loop(0, iterations, body, carry)
     _, _, fi_m, fi_P, sm_m, sm_P = carry
+    if sqrt:
+        # the loop carries the filtered Cholesky factor; reconstitute once
+        fi_P = jnp.einsum("ijn,kjn->ikn", fi_P, fi_P)
     return IteratedSmootherResult(fi_mean=fi_m, fi_cov=fi_P, sm_mean=sm_m, sm_cov=sm_P)

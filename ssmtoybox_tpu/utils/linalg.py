@@ -165,9 +165,16 @@ def chol_small_psd(a: jax.Array) -> jax.Array:
     noise through a thin gain has rank ``dim_q < D``.  A plain Cholesky
     recurrence NaNs on the zero pivots (0/0); here each pivot is clamped at
     zero and columns under a scale-relative cutoff ``sqrt(max_diag · eps) · D``
-    are zeroed, so ``L Lᵀ = a`` up to the clamp (error ≤ the cutoff², i.e.
-    rounding-level for PSD inputs).  Elementwise over the batch like
-    :func:`chol_small`; no eigh/SVD, so it runs on the TPU f64 path too.
+    are zeroed.  The cutoff is the resolution at which a pivot is
+    distinguishable from elimination round-off (eliminating an O(scale) block
+    leaves O(eps·scale) noise, i.e. O(sqrt(eps·scale)) in the factor), so
+    ``L Lᵀ`` can differ from ``a`` by up to ``~D·sqrt(eps)·scale`` — genuine
+    correlations between directions whose variances differ by more than a
+    factor ``1/eps`` are dropped rather than amplified into NaN/garbage.
+    Callers needing those extreme rank-1 structures intact must factor them
+    analytically (as the square-root filters do for their noise columns).
+    Elementwise over the batch like :func:`chol_small`; no eigh/SVD, so it
+    runs on the TPU f64 path too.
     """
     d = a.shape[-1]
     if d > SMALL_DIM_MAX:

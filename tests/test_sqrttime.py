@@ -10,15 +10,17 @@ from ssmtoybox_tpu.parallel.sqrttime import (parallel_affine_sqrt_filter,
                                              parallel_affine_sqrt_smoother,
                                              parallel_linear_sqrt_filter,
                                              parallel_linear_sqrt_smoother)
-from ssmtoybox_tpu.ssmod import ConstantVelocity, MeasurementModel
-from ssmtoybox_tpu.utils import GaussRV
 
-from test_timescan import LinearPositionMeasurement, _setup
+from test_timescan import _setup
 
 
 def _sqrt_inputs(F, Q, H, R, x0):
-    # low-rank process noise: factor through the CV noise gain (D=4, Dq=2)
-    SQ = np.linalg.cholesky(Q + 1e-12 * np.eye(4))
+    """Thin (D=4, Mq=2) process-noise columns through the CV gain — exercises
+    the rank-deficient/zero-padding branches of the factor-form scans."""
+    dt = 0.5
+    G = np.kron(np.eye(2), np.array([[dt ** 2 / 2], [dt]]))
+    SQ = G * np.sqrt(5.0)                  # G chol(diag(5, 5)): (4, 2) columns
+    np.testing.assert_allclose(SQ @ SQ.T, Q, atol=1e-12)
     SR = np.linalg.cholesky(R)
     S0 = np.linalg.cholesky(np.asarray(x0.cov))
     return SQ, SR, S0

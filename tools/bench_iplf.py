@@ -76,8 +76,10 @@ def main():
         fm_s, sm_s = seq(y)
         fm_p, sm_p = par(y)
         xt = x[..., 0]
-        rm = lambda m: float(jnp.sqrt(jnp.mean((jnp.asarray(m, jnp.float64) -
-                                                jnp.asarray(xt, jnp.float64)) ** 2)))
+        # accumulate the error in f64 on the host: under --f32 (x64 disabled)
+        # a jnp f64 cast silently stays f32
+        rm = lambda m: float(np.sqrt(np.mean((np.asarray(m, np.float64) -
+                                              np.asarray(xt, np.float64)) ** 2)))
         tag = "sqrt-ipls(2)" if use_sqrt else "ipls(2)"
         print(f"steps={steps:>7d}  seq={t_seq*1e3:9.2f} ms  {tag}={t_par*1e3:9.2f} ms  "
               f"speedup={t_seq/t_par:6.2f}x  rmse seq/par smooth: {rm(sm_s):.4f}/{rm(sm_p):.4f}",
