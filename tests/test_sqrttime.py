@@ -109,6 +109,28 @@ def test_affine_time_varying_matches_full_cov():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_more_measurements_than_states():
+    """E > D exercises the tria branch of the information-factor squaring
+    (_square_cols): a 1-D state observed by 3 sensors."""
+    rng = np.random.default_rng(7)
+    n = 40
+    F = np.array([[0.95]])
+    Q = np.array([[0.3]])
+    H = np.array([[1.0], [0.8], [-0.5]])
+    R = np.diag([0.4, 0.6, 0.5])
+    m0, P0 = np.array([1.0]), np.array([[2.0]])
+    ys = rng.standard_normal((3, n))
+    fm_full, fP_full = parallel_linear_filter(F, Q, H, R, m0, P0, ys)
+    fm_sq, fS_sq = parallel_linear_sqrt_filter(
+        F, np.linalg.cholesky(Q), H, np.linalg.cholesky(R), m0,
+        np.linalg.cholesky(P0), ys)
+    fP_sq = jnp.einsum("ijn,kjn->ikn", fS_sq, fS_sq)
+    np.testing.assert_allclose(np.asarray(fm_sq), np.asarray(fm_full),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fP_sq), np.asarray(fP_full),
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_f32_long_record_stays_pd():
     """f32 + 2048 steps: the factor recursion keeps positive diagonals and
     tracks the f64 full-covariance result — the serving scenario that
