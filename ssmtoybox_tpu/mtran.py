@@ -129,6 +129,11 @@ class SigmaPointTransform(MomentTransform, struct.PyTreeNode):
     unit_sp: jax.Array  # (D, N)
     wm: jax.Array       # (N,)
     Wc: jax.Array       # (N, N)
+    #: diagonal of ``Wc`` when the rule's covariance weights are diagonal
+    #: (every classical rule) — its presence is STATIC pytree structure, so
+    #: ``apply`` halves the contraction work without a traced branch;
+    #: ``None`` keeps the dense path (general ``Wc``).
+    wc_diag: jax.Array | None = None
 
     def apply(self, f, mean, cov, fcn_par):
         L = chol_small(cov)
@@ -137,8 +142,17 @@ class SigmaPointTransform(MomentTransform, struct.PyTreeNode):
         fx = apply_f_columns(f, x, fcn_par)
         mean_f = small_matmul(fx, self.wm)
         dfx = fx - mean_f[:, None]
-        cov_f = small_mm3(dfx, self.Wc, dfx.T)
-        cov_fx = small_mm3(dfx, self.Wc, dx_in.T)
+        if self.wc_diag is not None:
+            # dfx @ diag(wc) @ B^T as one elementwise scale + one contraction.
+            # (A lower-triangle-only Gram was tried and measured SLOWER on
+            # TPU for D=5 — the rank-1-update pattern fuses better than
+            # D(D+1)/2 separate dot chains.)
+            dfx_w = dfx * self.wc_diag[None, :]
+            cov_f = small_matmul(dfx_w, dfx.T)
+            cov_fx = small_matmul(dfx_w, dx_in.T)
+        else:
+            cov_f = small_mm3(dfx, self.Wc, dfx.T)
+            cov_fx = small_mm3(dfx, self.Wc, dx_in.T)
         return mean_f, cov_f, cov_fx
 
 
@@ -147,6 +161,7 @@ def _spt(points: np.ndarray, wm: np.ndarray, wc: np.ndarray, dtype=None) -> Sigm
         unit_sp=jnp.asarray(points, dtype=dtype),
         wm=jnp.asarray(wm, dtype=dtype),
         Wc=jnp.asarray(np.diag(wc), dtype=dtype),
+        wc_diag=jnp.asarray(wc, dtype=dtype),
     )
 
 
