@@ -217,9 +217,19 @@ class RBFStudent(RBFGauss):
 
     # -- shared MC machinery ----------------------------------------------------
     def _mc_scan(self, fold, init, num_batches=None):
-        """Accumulate ``fold(samples, acc)`` over seeded sample batches."""
+        """Accumulate ``fold(samples, acc)`` over seeded sample batches.
+
+        Normalizes by the number of samples actually drawn,
+        ``num_batches · (num_samples // num_batches)`` — with a non-divisible
+        ``num_samples`` a division by the nominal count would silently bias
+        every expectation low.
+        """
         num_batches = self.num_batches if num_batches is None else num_batches
         batch_size = self.num_samples // num_batches
+        if batch_size < 1:
+            raise ValueError(
+                f"num_samples={self.num_samples} gives an empty batch with "
+                f"num_batches={num_batches}; raise num_samples or lower num_batches")
         keys = jax.random.split(jax.random.PRNGKey(self.seed), num_batches)
         mean = jnp.zeros((self.dim,), dtype=self.par.dtype)
         smat = jnp.eye(self.dim, dtype=self.par.dtype)
@@ -229,7 +239,7 @@ class RBFStudent(RBFGauss):
             return fold(xs, acc), None
 
         acc, _ = jax.lax.scan(body, init, keys)
-        return acc / self.num_samples
+        return acc / (num_batches * batch_size)
 
     def exp_x_kx(self, par, x, scaling=False):
         num_pts = x.shape[-1]
@@ -254,7 +264,12 @@ class RBFStudent(RBFGauss):
         def fold(xs, acc):
             k0 = self.eval(par_0, xs, x, scaling=scaling)    # (B, N)
             k1 = self.eval(par_1, xs, x, scaling=scaling)
-            return acc + k1.T @ k0                           # (N, N) — MXU matmul
+            # Q[i,j] = E[k_par0(x, x_i) k_par1(x, x_j)] — the RBFGauss
+            # closed-form convention, so Q(p1, p0) == Q(p0, p1)^T.  (The
+            # reference accumulates the transpose, ``bqkern.py:521``,
+            # inconsistent with its own closed form; fixed here — only
+            # multi-output models with distinct parameter rows can tell.)
+            return acc + k0.T @ k1                           # (N, N) — MXU matmul
 
         return self._mc_scan(fold, jnp.zeros((num_pts, num_pts), dtype=x.dtype))
 
@@ -263,11 +278,25 @@ class RBFStudent(RBFGauss):
         return par[0, 0] ** 2
 
     def exp_xy_kxy(self, par):
-        # reference uses 10000 batches of 200 samples for this one (bqkern.py:529-536)
-        def fold(xs, acc):
-            return acc + jnp.sum(self.eval(par, xs, xs))
+        """``E[k(x, y)]`` over independent Student draws.
 
-        return self._mc_scan(fold, jnp.zeros((), dtype=self.par.dtype), num_batches=10000)
+        Per batch, all off-diagonal pairs of the batch serve as (x, y)
+        samples: ``(sum(K) - trace(K)) / (B - 1)``, so the scan's final
+        ``1/num_samples`` yields ``1/(nb·B·(B-1))``.  (The reference divides
+        the full ``B²``-pair sum by ``nb·B`` — a ~``B``x overestimate that
+        inflates every rbf-student integral variance, ``bqkern.py:529-536``;
+        fixed here, and the biased diagonal pairs ``k(x,x)`` are excluded.)
+        """
+        # reference uses 10000 batches of 200 samples for this one; cap the
+        # batch count so every batch holds >= 2 samples (pairs need two)
+        nb = min(10000, max(1, self.num_samples // 2))
+
+        def fold(xs, acc):
+            K = self.eval(par, xs, xs)
+            b = K.shape[0]
+            return acc + (jnp.sum(K) - jnp.trace(K)) / (b - 1)
+
+        return self._mc_scan(fold, jnp.zeros((), dtype=self.par.dtype), num_batches=nb)
 
 
 def _unpack_rq(par):

@@ -580,6 +580,24 @@ class MOWeights(struct.PyTreeNode):
     iK: jax.Array     # (N, N, E)
 
 
+def mo_gp_emv(scale, Q, iK):
+    """Per-output MO-GP expected model variance ``s_e^2 (1 - tr(Q_ee iK_e))``
+    (``bqmod.py:1532-1537``) — single implementation shared by the MO models
+    and the MO transforms."""
+    tr = jnp.einsum("nmee,mne->e", Q, iK)
+    return scale ** 2 * (1.0 - tr)
+
+
+def mo_tp_emv(scale, nu, num_pts, Q, iK, fcn_obs):
+    """Per-output MO-TP expected model variance: the GP EMV rescaled by the
+    data-dependent Student factor (``bqmod.py:1643-1663``)."""
+    fe = jnp.atleast_2d(fcn_obs)                                          # (E, N)
+    quad = jnp.einsum("en,nme,em->e", fe, iK, fe)
+    s = (nu - 2.0 + quad) / (nu - 2.0 + num_pts)
+    tr = jnp.einsum("nmee,mne->e", Q, iK)
+    return scale ** 2 * s * (1.0 - tr)
+
+
 class MultiOutputModel(Model):
     """One kernel-parameter row per output (``bqmod.py:1248-1478``)."""
 
@@ -614,8 +632,19 @@ class MultiOutputModel(Model):
         q = jax.vmap(lambda p: self.kernel.exp_x_kx(p, x))(par)               # (E, N)
         R = jax.vmap(lambda p: self.kernel.exp_x_xkx(p, x))(par)              # (E, D, N)
         iK = jax.vmap(lambda p: self.kernel.eval_inv_dot(p, x, scaling=False))(par)  # (E, N, N)
-        Q = jax.vmap(lambda p0: jax.vmap(
-            lambda p1: self.kernel.exp_x_kxkx(p0, p1, x))(par))(par)          # (E, E, N, N)
+        # only the E(E+1)/2 lower-triangle blocks are computed: with the
+        # consistent orientation Q[e,f][i,j] = E[k_e(x,xi) k_f(x,xj)], the
+        # upper triangle is exactly the point-axis transpose — for
+        # rbf-student every avoided block is a multi-million-sample MC sweep
+        # (the reference also loops j<=i, ``bqmod.py:1292-1296``, though it
+        # mirrors untransposed; the transpose is the correct assembly)
+        il, jl = np.tril_indices(self.dim_out)
+        Q_low = jax.vmap(lambda p0, p1: self.kernel.exp_x_kxkx(p0, p1, x))(
+            par[il], par[jl])                                                 # (P, N, N)
+        n_pts = x.shape[-1]
+        Q = jnp.zeros((self.dim_out, self.dim_out, n_pts, n_pts), dtype=Q_low.dtype)
+        Q = Q.at[il, jl].set(Q_low)
+        Q = Q.at[jl, il].set(jnp.swapaxes(Q_low, -1, -2))                     # (E, E, N, N)
 
         w_m = jnp.einsum("en,enm->me", q, iK)
         w_c = jnp.einsum("eni,efij,fjm->nmef", iK, Q, iK)
@@ -650,9 +679,7 @@ class GaussianProcessMO(MultiOutputModel):
 
     def exp_model_variance(self, weights: MOWeights, fcn_obs=None):
         """Per-output EMV (``bqmod.py:1532-1537``)."""
-        scale2 = self.kernel.scale ** 2                                      # (E,)
-        tr = jnp.einsum("nmee,mne->e", weights.Q, weights.iK)
-        return scale2 * (1.0 - tr)
+        return mo_gp_emv(self.kernel.scale, weights.Q, weights.iK)
 
     def integral_variance(self, fcn_obs=None, par=None):
         """(``bqmod.py:1539-1548``)"""
@@ -694,11 +721,8 @@ class StudentTProcessMO(MultiOutputModel):
 
     def exp_model_variance(self, weights: MOWeights, fcn_obs):
         """Data-scaled per-output EMV (``bqmod.py:1643-1663``)."""
-        fe = jnp.atleast_2d(fcn_obs)                                          # (E, N)
-        quad = jnp.einsum("en,nme,em->e", fe, weights.iK, fe)
-        scale = (self.nu - 2.0 + quad) / (self.nu - 2.0 + self.num_pts)
-        tr = jnp.einsum("nmee,mne->e", weights.Q, weights.iK)
-        return self.kernel.scale ** 2 * scale * (1.0 - tr)
+        return mo_tp_emv(self.kernel.scale, self.nu, self.num_pts,
+                         weights.Q, weights.iK, fcn_obs)
 
     def integral_variance(self, fcn_obs=None, par=None):
         return None  # parity: unimplemented (``bqmod.py:1665-1666``)

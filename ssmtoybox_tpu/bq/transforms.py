@@ -24,6 +24,8 @@ from .models import (
     GaussianProcessMO,
     StudentTProcessModel,
     StudentTProcessMO,
+    mo_gp_emv,
+    mo_tp_emv,
 )
 
 __all__ = [
@@ -207,7 +209,11 @@ class MultiOutputBQTransform(MomentTransform, struct.PyTreeNode):
         emv = self._emv(fx, Q, iK)                                # (E,)
         cov_q = jnp.einsum("ei,ijed,dj->ed", fx, Wc, fx)
         cov_f = cov_q - jnp.outer(mean_f, mean_f) + emv[None, :]
-        cov_fx = jnp.einsum("en,dne,dj->ej", fx, Wcc, chol_cov)
+        # fx Wcc chol_cov^T — "jd" (not "dj") contracts against the lower
+        # factor's TRANSPOSE like the single-output path and the reference
+        # (``bqmtran.py:519-523``, ``.dot(chol_cov_in.T)``); with "dj" a
+        # non-diagonal input covariance gave a wrong gain every filter step
+        cov_fx = jnp.einsum("en,dne,jd->ej", fx, Wcc, chol_cov)
         return mean_f, cov_f, cov_fx
 
     def _emv(self, fx, Q, iK):  # pragma: no cover - interface
@@ -227,9 +233,7 @@ class MultiOutputGaussianProcessTransform(MultiOutputBQTransform):
                    dim_out=dim_out)
 
     def _emv(self, fx, Q, iK):
-        scale2 = self.model.kernel.scale ** 2
-        tr = jnp.einsum("nmee,mne->e", Q, iK)
-        return scale2 * (1.0 - tr)
+        return mo_gp_emv(self.model.kernel.scale, Q, iK)
 
 
 class MultiOutputStudentTProcessTransform(MultiOutputBQTransform):
@@ -249,8 +253,5 @@ class MultiOutputStudentTProcessTransform(MultiOutputBQTransform):
                    dim_out=dim_out)
 
     def _emv(self, fx, Q, iK):
-        fe = jnp.atleast_2d(fx)
-        quad = jnp.einsum("en,nme,em->e", fe, iK, fe)
-        scale = (self.model.nu - 2.0 + quad) / (self.model.nu - 2.0 + self.model.num_pts)
-        tr = jnp.einsum("nmee,mne->e", Q, iK)
-        return self.model.kernel.scale ** 2 * scale * (1.0 - tr)
+        return mo_tp_emv(self.model.kernel.scale, self.model.nu,
+                         self.model.num_pts, Q, iK, fx)

@@ -227,6 +227,20 @@ class TestTransforms:
         np.testing.assert_allclose(mo[0], so[0], rtol=1e-8, atol=1e-12)
         np.testing.assert_allclose(mo[2], so[2], rtol=1e-8, atol=1e-12)
 
+    def test_mo_cross_cov_nondiagonal_input_cov(self):
+        """Regression: the MO cross-covariance must contract against the
+        Cholesky factor's TRANSPOSE like the single-output path — a diagonal
+        input covariance (L = L^T on the diagonal scale) cannot tell the two
+        apart, a correlated one can."""
+        par_so = np.array([[1.0, 1.5, 1.5]])
+        par_mo = np.tile(par_so, (2, 1))
+        mean = jnp.asarray(np.array([1.0, 0.5]))
+        cov = jnp.asarray(np.array([[0.4, 0.15], [0.15, 0.3]]))
+        f = lambda x, p: jnp.stack([x[0] * x[1], jnp.sin(x[0])])
+        so = GaussianProcessTransform.create(2, 2, par_so, point_str="ut").apply(f, mean, cov, None)
+        mo = MultiOutputGaussianProcessTransform.create(2, 2, par_mo, point_str="ut").apply(f, mean, cov, None)
+        np.testing.assert_allclose(mo[2], so[2], rtol=1e-8, atol=1e-12)
+
 
 class TestStudentKernel:
     def test_student_mc_vs_gauss_closed_form(self):
@@ -239,6 +253,28 @@ class TestStudentKernel:
         np.testing.assert_allclose(ks.exp_x_kx(par, x), kg.exp_x_kx(par, x), atol=5e-3)
         np.testing.assert_allclose(ks.exp_x_kxkx(par, par, x),
                                    kg.exp_x_kxkx(par, par, x), atol=5e-3)
+        # pairwise E[k(x,y)] normalization: the reference overestimates by
+        # ~batch_size (``bqkern.py:529-536``); fixed here, so the MC estimate
+        # must approach the Gaussian closed form at high dof
+        np.testing.assert_allclose(float(ks.exp_xy_kxy(par)),
+                                   float(kg.exp_xy_kxy(par)), atol=5e-3)
+
+    def test_student_kxkx_orientation_matches_closed_form(self):
+        """Q[i,j] = E[k_par0(x, x_i) k_par1(x, x_j)]: with distinct parameter
+        rows the MC estimate must match the closed-form ORIENTATION (the
+        reference accumulates the transpose) — so Q(p1,p0) == Q(p0,p1)^T."""
+        p0 = np.array([[1.0, 1.0]])
+        p1 = np.array([[1.0, 3.0]])
+        x = jnp.asarray(np.array([[0.0, 1.5, -1.0]]))
+        ks = RBFStudent.create(1, np.vstack([p0, p1]), dof=200.0,
+                               num_samples=400_000, num_batches=100)
+        kg = RBFGauss.create(1, np.vstack([p0, p1]))
+        q_mc = np.asarray(ks.exp_x_kxkx(p0, p1, x))
+        q_cf = np.asarray(kg.exp_x_kxkx(p0, p1, x))
+        assert np.max(np.abs(q_cf - q_cf.T)) > 1e-3   # orientation-sensitive case
+        np.testing.assert_allclose(q_mc, q_cf, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ks.exp_x_kxkx(p1, p0, x)), q_mc.T,
+                                   atol=1e-12)
 
     def test_rq_expectations_shapes(self):
         par = np.array([[1.0, 2.0, 1.0, 1.0]])
