@@ -268,6 +268,10 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     q_smat = init_scale * q_cov
     r_smat = init_scale * r_cov
     x_smat_0 = init_scale * x0_smat
+    # loop-invariant noise corrections, hoisted out of the scan body (the
+    # Gaussian path does the same via small_mm3, ssinf.py:111)
+    GQGt = small_mm3(q_gain, q_cov, q_gain.T)
+    GSGt = small_mm3(q_gain, q_smat, q_gain.T)
 
     dim_trim = mod_dyn.dim_in   # reference trims with dim_in (ssinf.py:696-698)
     n_steps = data.shape[-1]
@@ -291,8 +295,8 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         x_mean_pr, x_cov_pr, xx_cov = tf_dyn.apply(mod_dyn.dyn_eval, mean, sm, k - 1)
         x_smat_pr = scale * x_cov_pr
         if mod_dyn.noise_additive:
-            x_cov_pr = x_cov_pr + q_gain @ q_cov @ q_gain.T
-            x_smat_pr = x_smat_pr + q_gain @ q_smat @ q_gain.T
+            x_cov_pr = x_cov_pr + GQGt
+            x_smat_pr = x_smat_pr + GSGt
 
         if mod_obs.noise_additive:
             mean, sm = x_mean_pr, x_smat_pr
@@ -360,6 +364,18 @@ class StateSpaceInference:
     def set_flag(self, key, value):
         self.flags[key] = value
 
+    def _check_batch(self, data_batch):
+        """Friendly shape error for the batch entry points — a 2-D input
+        would otherwise vmap over the measurement dimension and broadcast
+        into numerically meaningless output without raising."""
+        data_batch = jnp.asarray(data_batch)
+        if data_batch.ndim != 3 or data_batch.shape[1] != self.mod_obs.dim_out:
+            raise ValueError(
+                f"data_batch must be (num_traj, dim_y={self.mod_obs.dim_out}, "
+                f"num_steps); got {data_batch.shape}. For a single trajectory "
+                "use forward_pass((dim_y, N)).")
+        return data_batch
+
     def forward_pass(self, data):
         data = jnp.asarray(data)
         if data.ndim != 2 or data.shape[0] != self.mod_obs.dim_out:
@@ -394,6 +410,11 @@ class StateSpaceInference:
 @jax.jit
 def _jit_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data):
     return gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data)
+
+
+@jax.jit
+def _jit_default_time_update(mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k):
+    return _gaussian_time_update(mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k)
 
 
 @jax.jit
@@ -437,7 +458,8 @@ class GaussianInference(StateSpaceInference):
     def forward_pass_batch(self, data_batch):
         """Filter a whole (M, dim_y, N) batch of trajectories in one program."""
         return _jit_gaussian_filter_batch(self.mod_dyn, self.mod_obs,
-                                          self.tf_dyn, self.tf_obs, jnp.asarray(data_batch))
+                                          self.tf_dyn, self.tf_obs,
+                                          self._check_batch(data_batch))
 
 
 class StudentianInference(StateSpaceInference):
@@ -460,7 +482,7 @@ class StudentianInference(StateSpaceInference):
 
     def forward_pass_batch(self, data_batch):
         return _jit_studentian_filter_batch(self.mod_dyn, self.mod_obs, self.tf_dyn,
-                                            self.tf_obs, jnp.asarray(data_batch),
+                                            self.tf_obs, self._check_batch(data_batch),
                                             self.dof, self.fixed_dof)
 
     def _run_backward(self, result, rts_full):
@@ -730,7 +752,13 @@ class MarginalInference(GaussianInference):
 
         # jitted primitives -------------------------------------------------
         def _predict_meas(theta, m, P, k):
-            """Predicted measurement moments given log-params (ssinf.py:1160-1203)."""
+            """Predicted measurement moments given log-params (ssinf.py:1160-1203).
+
+            Log-params are boxed to [-8, 8] like the compiled path: scipy's
+            unbounded BFGS can wander far enough for ``exp`` to overflow the
+            kernel expectations, after which every later step is NaN (the
+            reference is exposed to the same blow-up)."""
+            theta = jnp.clip(theta, -8.0, 8.0)
             theta_dyn = jnp.exp(theta[: self.param_dyn_dim])
             theta_obs = jnp.exp(theta[self.param_dyn_dim:])
             m_pr, P_pr, xx, y_pr, S, xy = _gaussian_time_update(
@@ -747,7 +775,10 @@ class MarginalInference(GaussianInference):
             dth = theta - pm
             logprior = -0.5 * (pd_logdet(pc) + dth @ cho_solve(cho_factor(pc, lower=True), dth)
                                + theta.shape[0] * jnp.log(2 * jnp.pi))
-            return -(loglik + logprior)
+            # outside the box the likelihood is constant (clipped); this
+            # quadratic keeps the BFGS gradient pointing back inside
+            box_penalty = 0.5 * jnp.sum((theta - jnp.clip(theta, -8.0, 8.0)) ** 2)
+            return -(loglik + logprior) + box_penalty
 
         def _posterior_moments(theta, y, m, P, k):
             m_pr, P_pr, _, y_pr, S, xy = _predict_meas(theta, m, P, k)
@@ -776,31 +807,58 @@ class MarginalInference(GaussianInference):
             return float(v), np.asarray(g, dtype=float)
 
         res = minimize(obj, np.asarray(pm, dtype=float), method="BFGS", jac=True)
-        self.param_mean = jnp.asarray(res.x)
-        self.param_cov = jnp.asarray(res.hess_inv) + self.param_jitter
+        # extreme log-params can make the Gram ill-conditioned enough that
+        # the objective/gradient go NaN mid-search, in which case scipy
+        # returns its (garbage) last iterate — keep the incumbent posterior
+        # rather than poisoning every later step (the compiled Newton path
+        # safeguards the same way)
+        x = np.asarray(res.x, dtype=float)
+        hinv = np.asarray(res.hess_inv, dtype=float)
+        if np.isfinite(x).all() and np.isfinite(res.fun) and np.isfinite(hinv).all():
+            self.param_mean = jnp.clip(jnp.asarray(x), -8.0, 8.0)
+            self.param_cov = jnp.asarray(hinv) + self.param_jitter
 
     def forward_pass(self, data):
         data = jnp.asarray(data)
         n_steps = data.shape[-1]
         m, P = self.mod_dyn.init_rv.get_stats()[:2]
         fi_m, fi_P = [], []
+        pr_m, pr_P, pr_xx = [], [], []
         for k in range(1, n_steps + 1):
             y = data[:, k - 1]
-            self._laplace_step(y, m, P, k - 1)
+            # default-parameter predictive moments for the RTS smoother —
+            # the reference runs the plain _time_update(k-1) before each
+            # marginalized measurement update (ssinf.py:104), so smoothing
+            # gains come from the DEFAULT kernel parameters
+            m_pr_d, P_pr_d, xx_d, _, _, _ = _jit_default_time_update(
+                self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, m, P,
+                jnp.asarray(k - 1, data.dtype))
+            pr_m.append(m_pr_d)
+            pr_P.append(P_pr_d)
+            pr_xx.append(xx_d)
+            # NOTE: unlike the plain Gaussian time update (applied at k-1,
+            # ssinf.py:104), the reference's marginalized update evaluates
+            # both transforms at time k (ssinf.py:110,1152,1188-1199)
+            self._laplace_step(y, m, P, k)
             chol_pc = jnp.linalg.cholesky(self.param_cov)
             theta_pts = self.param_mean[:, None] + chol_pc @ self.param_upts
-            means, covs = self._posterior_moments(theta_pts, y, m, P, k - 1)
+            means, covs = self._posterior_moments(theta_pts, y, m, P, k)
             m = jnp.einsum("pi,p->i", means, self.param_wts)
             P = jnp.einsum("pij,p->ij", covs, self.param_wts)
             fi_m.append(m)
             fi_P.append(P)
         self.fi_mean = jnp.stack(fi_m, axis=-1)
         self.fi_cov = jnp.stack(fi_P, axis=-1)
+        self._result = FilterResult(
+            fi_mean=self.fi_mean, fi_cov=self.fi_cov,
+            pr_mean=jnp.stack(pr_m, axis=-1), pr_cov=jnp.stack(pr_P, axis=-1),
+            pr_xx_cov=jnp.stack(pr_xx, axis=-1))
         self.set_flag("filtered", True)
         return self.fi_mean, self.fi_cov
 
-    def backward_pass(self, rts_full=False):
-        raise NotImplementedError("MarginalInference does not define a smoother")
+    # backward_pass: inherited from GaussianInference — the reference's
+    # MarginalInference smooths with the default-parameter predictive
+    # moments stored by its plain _time_update (ssinf.py:104,120-147)
 
 
     # -- fully-compiled variant ------------------------------------------------
@@ -819,7 +877,7 @@ class MarginalInference(GaussianInference):
         self._result = self._jit_marginal(
             self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
             self.param_prior_mean, self.param_prior_cov, newton_iters, damping)
-        self.fi_mean, self.fi_cov = self._result
+        self.fi_mean, self.fi_cov = self._result.fi_mean, self._result.fi_cov
         self.set_flag("filtered", True)
         return self.fi_mean, self.fi_cov
 
@@ -854,6 +912,11 @@ class MarginalInference(GaussianInference):
             m, P, pm, pc = carry
             y, k = inp
 
+            # default-parameter predictive moments for the RTS smoother
+            # (the reference's plain _time_update(k-1), ssinf.py:104)
+            m_pr_d, P_pr_d, xx_d, _, _, _ = _gaussian_time_update(
+                mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k - 1)
+
             # Safeguarded damped-Newton Laplace approximation: a step is
             # accepted only if it keeps the objective finite and non-
             # increasing; otherwise a short gradient step is tried, and the
@@ -861,28 +924,30 @@ class MarginalInference(GaussianInference):
             # [-6, 6] so exp() cannot overflow the kernel expectations.
             def newton(i, carry):
                 theta, f_cur = carry
-                g = jax.grad(neg_log_post)(theta, y, m, P, k - 1, pm, pc)
-                H = jax.hessian(neg_log_post)(theta, y, m, P, k - 1, pm, pc)
+                g = jax.grad(neg_log_post)(theta, y, m, P, k, pm, pc)
+                H = jax.hessian(neg_log_post)(theta, y, m, P, k, pm, pc)
                 delta = gen_solve(H + damping * eye_p, g)
                 nrm = jnp.linalg.norm(delta)
                 delta = delta * jnp.minimum(1.0, 3.0 / (nrm + 1e-12))
 
                 cand = jnp.clip(theta - delta, -6.0, 6.0)
-                f_cand = neg_log_post(cand, y, m, P, k - 1, pm, pc)
+                f_cand = neg_log_post(cand, y, m, P, k, pm, pc)
                 ok = jnp.isfinite(f_cand) & (f_cand <= f_cur)
 
                 grad_step = jnp.clip(theta - 0.1 * g / (jnp.linalg.norm(g) + 1e-12),
                                      -6.0, 6.0)
-                f_grad = neg_log_post(grad_step, y, m, P, k - 1, pm, pc)
+                f_grad = neg_log_post(grad_step, y, m, P, k, pm, pc)
                 ok_grad = jnp.isfinite(f_grad) & (f_grad <= f_cur)
 
                 theta_new = jnp.where(ok, cand, jnp.where(ok_grad, grad_step, theta))
                 f_new = jnp.where(ok, f_cand, jnp.where(ok_grad, f_grad, f_cur))
                 return theta_new, f_new
 
-            f0 = neg_log_post(pm, y, m, P, k - 1, pm, pc)
+            # marginalized updates evaluate at time k, like the reference
+            # (ssinf.py:110,1152) — not k-1 as in the plain time update
+            f0 = neg_log_post(pm, y, m, P, k, pm, pc)
             theta_star, _ = jax.lax.fori_loop(0, newton_iters, newton, (pm, f0))
-            H = jax.hessian(neg_log_post)(theta_star, y, m, P, k - 1, pm, pc)
+            H = jax.hessian(neg_log_post)(theta_star, y, m, P, k, pm, pc)
             pc_cand = symmetrize(gen_solve(H + damping * eye_p, eye_p)) + 1e-8 * eye_p
             # an indefinite Hessian (saddle) yields a non-PD candidate:
             # keep the previous posterior covariance in that case
@@ -895,19 +960,25 @@ class MarginalInference(GaussianInference):
             theta_pts = theta_star[:, None] + L_pc @ upts
 
             def one(theta):
-                m_pr, P_pr, _, y_pr, S, xy = predict_meas(theta, m, P, k - 1)
+                m_pr, P_pr, _, y_pr, S, xy = predict_meas(theta, m, P, k)
                 return _kalman_update(m_pr, P_pr, y_pr, S, xy, y)
 
             means, covs = jax.vmap(one, in_axes=1)(theta_pts)
             m_new = jnp.einsum("pi,p->i", means, wts)
             P_new = jnp.einsum("pij,p->ij", covs, wts)
-            return (m_new, P_new, theta_star, pc_new), (m_new, P_new)
+            return ((m_new, P_new, theta_star, pc_new),
+                    (m_new, P_new, m_pr_d, P_pr_d, xx_d))
 
         m0, P0 = mod_dyn.init_rv.get_stats()[:2]
         ks = jnp.arange(1, data.shape[-1] + 1)
-        _, (fi_m, fi_P) = jax.lax.scan(step, (m0, P0, par_mean0, par_cov0),
-                                       (data.T, ks))
-        return jnp.moveaxis(fi_m, 0, -1), jnp.moveaxis(fi_P, 0, -1)
+        _, (fi_m, fi_P, pr_m, pr_P, pr_xx) = jax.lax.scan(
+            step, (m0, P0, par_mean0, par_cov0), (data.T, ks))
+        return FilterResult(
+            fi_mean=jnp.moveaxis(fi_m, 0, -1),
+            fi_cov=jnp.moveaxis(fi_P, 0, -1),
+            pr_mean=jnp.moveaxis(pr_m, 0, -1),
+            pr_cov=jnp.moveaxis(pr_P, 0, -1),
+            pr_xx_cov=jnp.moveaxis(pr_xx, 0, -1))
 
 
 class MarginalizedGaussianProcessKalman(MarginalInference):

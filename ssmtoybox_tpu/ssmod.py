@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,8 +85,18 @@ class TransitionModel(struct.PyTreeNode):
         raise NotImplementedError
 
     def dyn_fcn_dx(self, x, q, time):
-        """Exact Jacobian via forward-mode AD (replaces hand-coded ``dyn_fcn_dx``)."""
-        return jnp.atleast_2d(jax.jacfwd(lambda v: self.dyn_fcn(v, q, time))(x))
+        """Exact Jacobian via forward-mode AD (replaces hand-coded ``dyn_fcn_dx``).
+
+        For non-additive models the reference's hand-coded Jacobians include
+        the noise columns (e.g. ``ssmod.py:305-306``), so the AD Jacobian is
+        taken w.r.t. the augmented ``[x, q]`` there — shape (dim_out,
+        dim_state + dim_noise)."""
+        if self.noise_additive:
+            return jnp.atleast_2d(jax.jacfwd(lambda v: self.dyn_fcn(v, q, time))(x))
+        d = self.dim_state
+        xq = jnp.concatenate([jnp.atleast_1d(x), jnp.atleast_1d(q)])
+        return jnp.atleast_2d(jax.jacfwd(
+            lambda v: self.dyn_fcn(v[:d], v[d:], time))(xq))
 
     def dyn_eval(self, xq, time):
         """Additivity dispatch (``ssmod.py:129-166``), value branch only.
@@ -393,6 +405,15 @@ class MeasurementModel(struct.PyTreeNode):
     def create(cls, noise_rv, dim_state: int, state_index=None, **kwargs):
         if state_index is not None:
             state_index = tuple(int(i) for i in np.asarray(state_index).ravel())
+            if not cls.noise_additive and len(state_index) != cls.dim_substate + cls.dim_noise:
+                # the reference asserts this inside meas_eval (ssmod.py:1001);
+                # without the check the gather silently drops the noise and
+                # reuses a state entry in its place
+                raise ValueError(
+                    f"non-additive measurement models gather the AUGMENTED "
+                    f"[state; noise] vector, so state_index must select "
+                    f"dim_substate + dim_noise = {cls.dim_substate + cls.dim_noise} "
+                    f"entries; got {len(state_index)}")
         return cls(noise_rv=noise_rv, dim_state=int(dim_state), state_index=state_index, **kwargs)
 
     @property
@@ -404,8 +425,18 @@ class MeasurementModel(struct.PyTreeNode):
         raise NotImplementedError
 
     def meas_fcn_dx(self, x, r, time):
-        """Exact Jacobian of ``meas_fcn`` w.r.t. the sub-state, via AD."""
-        return jnp.atleast_2d(jax.jacfwd(lambda v: self.meas_fcn(v, r, time))(x))
+        """Exact Jacobian of ``meas_fcn`` via AD.
+
+        Like the reference's hand-coded Jacobians, non-additive models get
+        the noise columns too (the reference scatters
+        ``meas_fcn_dx[:, dim_substate:]`` into the noise block,
+        ``ssmod.py:1001-1006``) — shape (dim_out, dim_substate + dim_noise)."""
+        if self.noise_additive:
+            return jnp.atleast_2d(jax.jacfwd(lambda v: self.meas_fcn(v, r, time))(x))
+        d = self.dim_substate
+        xr = jnp.concatenate([jnp.atleast_1d(x), jnp.atleast_1d(r)])
+        return jnp.atleast_2d(jax.jacfwd(
+            lambda v: self.meas_fcn(v[:d], v[d:], time))(xr))
 
     def meas_eval(self, xr, time):
         """Additivity dispatch + sub-state selection (``ssmod.py:960-1009``).
@@ -495,6 +526,14 @@ class RangeMeasurement(MeasurementModel):
         return rng[None] + r
 
 
+@functools.lru_cache(maxsize=None)
+def _bearing_class(base, num_sensors: int):
+    """Per-sensor-count BearingMeasurement subclass, cached so equal-count
+    instances share one pytree treedef (jit cache key)."""
+    return type(f"BearingMeasurement{num_sensors}", (base,),
+                {"dim_out": num_sensors, "dim_noise": num_sensors})
+
+
 class BearingMeasurement(MeasurementModel):
     """S bearing sensors, atan2 measurements (``ssmod.py:1155-1198``)."""
 
@@ -510,13 +549,13 @@ class BearingMeasurement(MeasurementModel):
         if sensor_pos is None:
             sensor_pos = np.vstack((np.eye(2), -np.eye(2)))
         sensor_pos = jnp.asarray(sensor_pos, dtype=noise_rv.mean.dtype)
-        num = int(sensor_pos.shape[0])
-        # dim_out/dim_noise depend on the sensor count -> specialize the class
-        sub = type(f"BearingMeasurement{num}", (cls,), {"dim_out": num, "dim_noise": num})
-        if state_index is not None:
-            state_index = tuple(int(i) for i in np.asarray(state_index).ravel())
-        return sub(noise_rv=noise_rv, dim_state=int(dim_state), state_index=state_index,
-                   sensor_pos=sensor_pos)
+        # dim_out/dim_noise depend on the sensor count -> specialize the
+        # class, CACHED per sensor count: a fresh type per call would make
+        # every instance a distinct pytree treedef, defeating jit caching
+        # (one recompile per instance) and cross-instance stacking
+        sub = _bearing_class(cls, int(sensor_pos.shape[0]))
+        return MeasurementModel.create.__func__(
+            sub, noise_rv, dim_state, state_index, sensor_pos=sensor_pos)
 
     def meas_fcn(self, x, r, time):
         dx = x[0] - self.sensor_pos[:, 0]
@@ -539,10 +578,7 @@ class Radar2DMeasurement(MeasurementModel):
         if radar_loc is None:
             radar_loc = np.zeros(2)
         radar_loc = jnp.asarray(radar_loc, dtype=noise_rv.mean.dtype)
-        if state_index is not None:
-            state_index = tuple(int(i) for i in np.asarray(state_index).ravel())
-        return cls(noise_rv=noise_rv, dim_state=int(dim_state), state_index=state_index,
-                   radar_loc=radar_loc)
+        return super().create(noise_rv, dim_state, state_index, radar_loc=radar_loc)
 
     def meas_fcn(self, x, r, time):
         dx = x[0] - self.radar_loc[0]
