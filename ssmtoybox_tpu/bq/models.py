@@ -170,9 +170,7 @@ class GaussianProcessModel(Model):
         x = self.points
 
         iK = self.kernel.eval_inv_dot(par, x, scaling=False)
-        q = self.kernel.exp_x_kx(par, x)
-        Q = self.kernel.exp_x_kxkx(par, par, x)
-        R = self.kernel.exp_x_xkx(par, x)
+        q, R, Q = self.kernel.exp_x_qRQ(par, x)
 
         w_m = q @ iK
         w_c = symmetrize(iK @ Q @ iK)
@@ -195,16 +193,20 @@ class GaussianProcessModel(Model):
         return mean, var
 
     def exp_model_variance(self, par=None, *args):
-        """``s^2 (1 - tr(Q K^-1))`` (``bqmod.py:525-528``)."""
+        """``s^2 (1 - tr(Q K^-1))`` (``bqmod.py:525-528``).
+
+        Routed through the kernel's combined ``exp_x_qRQ`` so MC-weighted
+        kernels (rbf-student) hit the fused path instead of a separate
+        multi-million-sample sweep."""
         par = self.kernel.get_parameters(par)
         iK = self.kernel.eval_inv_dot(par, self.points)
-        Q = self.kernel.exp_x_kxkx(par, par, self.points)
+        _, _, Q = self.kernel.exp_x_qRQ(par, self.points)
         return self.kernel.exp_x_kxx(par) * (1.0 - jnp.trace(Q @ iK))
 
     def integral_variance(self, par=None, *args):
         """``E[kxy] - q^T K^-1 q`` (``bqmod.py:530-535``)."""
         par = self.kernel.get_parameters(par)
-        q = self.kernel.exp_x_kx(par, self.points)
+        q, _, _ = self.kernel.exp_x_qRQ(par, self.points)
         iK = self.kernel.eval_inv_dot(par, self.points, scaling=False)
         return self.kernel.exp_xy_kxy(par) - q @ iK @ q
 

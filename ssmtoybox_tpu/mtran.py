@@ -128,12 +128,27 @@ class SigmaPointTransform(MomentTransform, struct.PyTreeNode):
 
     unit_sp: jax.Array  # (D, N)
     wm: jax.Array       # (N,)
-    Wc: jax.Array       # (N, N)
+    #: dense (N, N) covariance-weight matrix — only populated for rules that
+    #: genuinely need one; classical rules carry :attr:`wc_diag` instead and
+    #: leave this None (a GH degree^d rule would otherwise bake an O(N^2)
+    #: constant into every compiled program: ~78 MB for GH-5 in 5D)
+    Wc_dense: jax.Array | None = None
     #: diagonal of ``Wc`` when the rule's covariance weights are diagonal
     #: (every classical rule) — its presence is STATIC pytree structure, so
-    #: ``apply`` halves the contraction work without a traced branch;
-    #: ``None`` keeps the dense path (general ``Wc``).
+    #: ``apply`` halves the contraction work without a traced branch
     wc_diag: jax.Array | None = None
+
+    @property
+    def Wc(self) -> jax.Array:
+        """Dense covariance-weight matrix (reference attribute,
+        ``mtran.py:102-149``), materialized on demand for diagonal rules."""
+        if self.Wc_dense is not None:
+            return self.Wc_dense
+        if self.wc_diag is None:
+            raise ValueError("SigmaPointTransform needs covariance weights: "
+                             "pass wc_diag (classical diagonal rule) or "
+                             "Wc_dense (general rule)")
+        return jnp.diag(self.wc_diag)
 
     def apply(self, f, mean, cov, fcn_par):
         L = chol_small(cov)
@@ -151,8 +166,9 @@ class SigmaPointTransform(MomentTransform, struct.PyTreeNode):
             cov_f = small_matmul(dfx_w, dfx.T)
             cov_fx = small_matmul(dfx_w, dx_in.T)
         else:
-            cov_f = small_mm3(dfx, self.Wc, dfx.T)
-            cov_fx = small_mm3(dfx, self.Wc, dx_in.T)
+            Wc = self.Wc        # raises a clear error if neither weight set
+            cov_f = small_mm3(dfx, Wc, dfx.T)
+            cov_fx = small_mm3(dfx, Wc, dx_in.T)
         return mean_f, cov_f, cov_fx
 
 
@@ -160,7 +176,6 @@ def _spt(points: np.ndarray, wm: np.ndarray, wc: np.ndarray, dtype=None) -> Sigm
     return SigmaPointTransform(
         unit_sp=jnp.asarray(points, dtype=dtype),
         wm=jnp.asarray(wm, dtype=dtype),
-        Wc=jnp.asarray(np.diag(wc), dtype=dtype),
         wc_diag=jnp.asarray(wc, dtype=dtype),
     )
 

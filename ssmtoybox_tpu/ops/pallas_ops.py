@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the framework's hot compute paths.
 
-Two kernels, chosen by profiling the reference's cost structure (SURVEY §3.3):
+Three kernels, chosen by profiling the reference's cost structure (SURVEY §3.3):
 
 1. :func:`student_expectations` — THE expensive init path: the RBF-Student
    kernel expectations behind TPQ weights are Monte-Carlo averages over ~2e6
@@ -11,18 +11,25 @@ Two kernels, chosen by profiling the reference's cost structure (SURVEY §3.3):
        q = E[k(x, x_n)],  R = E[x k(x, x_n)],  Q = E[k(x, x_i) k(x, x_j)]
 
    in one pass: the (chunk, N) Gram tile never leaves VMEM, and the three
-   reductions are MXU matmuls against it.  The jnp fallback materializes the
-   Gram tile per batch in HBM three times.
+   reductions are MXU matmuls against it.  The jnp scan path materializes the
+   Gram tile per batch in HBM three times (and pays emulated f64 per step —
+   measured 98x slower on one chip).
 
-2. :func:`vandermonde` — the reference's single natively-accelerated function
+2. :func:`student_kxy` — the pairwise ``E[k(x, y)]`` integral-variance term:
+   one (chunk, chunk) f32 MXU Gram per grid step, all off-diagonal pairs.
+
+3. :func:`vandermonde` — the reference's single natively-accelerated function
    (Numba-JIT, ``utils.py:478-502``); here a static-unrolled VPU kernel over
    the (compile-time) multi-index.
 
-Pallas TPU compute is float32 (Mosaic has no f64 VPU/MXU path); both kernels
+Pallas TPU compute is float32 (Mosaic has no f64 VPU/MXU path); the kernels
 run in f32 with f64 in/out casts.  That is exact for ``vandermonde`` on
 sigma-point-scale inputs and far below the O(1e-3) Monte-Carlo error of the
-Student expectations; callers needing bitwise-f64 semantics use the jnp
-fallbacks (automatic off-TPU).
+Student expectations.  Off-TPU the same kernels run in interpret mode; the
+Student kernels are NOT differentiable (no pallas autodiff rule) — callers
+needing ``jax.grad`` through rbf-student expectations build the kernel with
+``RBFStudent.create(..., use_pallas=False)`` to get the differentiable jnp
+scan path.
 """
 from __future__ import annotations
 
@@ -37,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.rand import multivariate_t
 
-__all__ = ["student_expectations", "vandermonde"]
+__all__ = ["student_expectations", "student_kxy", "vandermonde"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -118,6 +125,9 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
 
     dp = _round_up(max(d, 1), 8)
     np_pad = _round_up(max(n, 1), 128)
+    # a sample budget below one chunk would otherwise silently draw a full
+    # chunk; shrink the chunk (8-aligned for the TPU tile) instead
+    chunk = min(chunk, _round_up(max(num_samples, 8), 8))
     num_chunks = max(num_samples // chunk, 1)
     total = num_chunks * chunk
 
@@ -131,7 +141,22 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
     inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
 
     grid = (num_chunks,)
-    q, r, Q = pl.pallas_call(
+    # under jax_enable_x64 the grid index maps trace to i64, which Mosaic
+    # cannot legalize ("func.return (i64, i64)"); the kernel is all-f32, so
+    # trace it with x64 off
+    with jax.enable_x64(False):
+        q, r, Q = _student_pallas_call(grid, dp, np_pad, chunk, interpret,
+                                       inv_l, xs, xp)
+
+    inv_total = 1.0 / total
+    q_out = (q[0, :n] * inv_total).astype(in_dtype)
+    r_out = (r[:d, :n] * inv_total).astype(in_dtype)
+    Q_out = (Q[:n, :n] * inv_total).astype(in_dtype)
+    return q_out, r_out, Q_out
+
+
+def _student_pallas_call(grid, dp, np_pad, chunk, interpret, inv_l, xs, xp):
+    return pl.pallas_call(
         _student_exp_kernel,
         grid=grid,
         in_specs=[
@@ -152,11 +177,73 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
         interpret=interpret,
     )(inv_l, xs, xp)
 
-    inv_total = 1.0 / total
-    q_out = (q[0, :n] * inv_total).astype(in_dtype)
-    r_out = (r[:d, :n] * inv_total).astype(in_dtype)
-    Q_out = (Q[:n, :n] * inv_total).astype(in_dtype)
-    return q_out, r_out, Q_out
+
+def _student_kxy_kernel(inv_l_ref, xs_ref, out_ref):
+    """Per-chunk pairwise ``E[k(x, y)]`` contribution: all off-diagonal pairs
+    of the chunk's sample-sample Gram.  ``k_ii = exp(0) = 1`` exactly, so the
+    diagonal is removed arithmetically (no trace op needed)."""
+    i = pl.program_id(0)
+    s = xs_ref[:] * inv_l_ref[:]
+    s2 = jnp.sum(s * s, axis=1, keepdims=True)       # (C, 1)
+    k = jnp.exp(-0.5 * (s2 + s2.T) + jnp.dot(s, s.T, preferred_element_type=jnp.float32))
+    c = k.shape[0]
+    val = (jnp.sum(k) - c) / (c - 1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = val
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + val
+
+
+def student_kxy(par, dim: int, dof: float, num_samples: int = 2_000_000,
+                key=None, chunk: int = 1024,
+                interpret: bool | None = None) -> jax.Array:
+    """Fused MC estimate of the pairwise expectation ``E[k(x, y)]`` over
+    independent Student draws (the ``exp_xy_kxy`` integral-variance term).
+
+    The jnp scan equivalent walks 10000 tiny batches (reference structure,
+    ``bqkern.py:529-536``) — a scan that long costs ~30 s in emulated f64 on
+    TPU; here each grid step is one (chunk, chunk) f32 Gram on the MXU.
+    ``chunk`` is bounded by the Gram tile's VMEM footprint (1024² f32 = 4 MB).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    par_row = jnp.asarray(par).reshape(-1)
+    ell = par_row[1:]
+    d = dim
+    dp = _round_up(max(d, 1), 8)
+    # pairs need >= 2 samples per chunk (the estimator divides by chunk-1);
+    # shrink an oversized chunk to the 8-aligned sample budget
+    chunk = min(chunk, _round_up(max(num_samples, 8), 8))
+    if chunk < 2:
+        raise ValueError(f"student_kxy needs chunk >= 2 (pairs); got {chunk}")
+    num_chunks = max(num_samples // chunk, 1)
+    total = num_chunks * chunk
+
+    samples = multivariate_t(key, jnp.zeros(d, jnp.float32),
+                             jnp.eye(d, dtype=jnp.float32), dof, (total,))
+    xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
+    inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
+
+    with jax.enable_x64(False):
+        acc = pl.pallas_call(
+            _student_kxy_kernel,
+            grid=(num_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            interpret=interpret,
+        )(inv_l, xs)
+    return (acc[0, 0] / total).astype(jnp.asarray(par).dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -64,13 +64,17 @@ def _rule_arrays(tf, what: str):
             f"variance term and are only supported on the full-covariance path")
     xi = np.asarray(tf.unit_sp)
     wm = np.asarray(tf.wm)
-    Wc = np.asarray(tf.Wc)
-    # exact check: silently dropping small-but-genuine off-diagonal weights
-    # would compute with a truncated rule
-    if np.any(Wc != np.diag(np.diag(Wc))):
-        raise TypeError(f"{what} transform has a non-diagonal covariance-weight "
-                        f"matrix; square-root form requires a classical rule")
-    wc = np.diag(Wc)
+    if tf.wc_diag is not None:
+        wc = np.asarray(tf.wc_diag)
+    else:
+        Wc = np.asarray(tf.Wc)
+        # exact check: silently dropping small-but-genuine off-diagonal
+        # weights would compute with a truncated rule
+        if np.any(Wc != np.diag(np.diag(Wc))):
+            raise TypeError(f"{what} transform has a non-diagonal covariance-"
+                            f"weight matrix; square-root form requires a "
+                            f"classical rule")
+        wc = np.diag(Wc)
     neg = tuple(int(i) for i in np.nonzero(wc < 0)[0])
     return xi, wm, wc, neg
 

@@ -16,15 +16,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["n_sum_k", "vandermonde", "vandermonde_np"]
+__all__ = ["n_sum_k", "n_sum_k_complete", "vandermonde", "vandermonde_np"]
 
 
 def n_sum_k(n: int, k: int) -> np.ndarray:
-    """All n-tuples of non-negative ints summing to k, as a (n, count) matrix.
+    """n-tuples of non-negative ints summing to k, as a (n, count) matrix.
 
-    Behavioural parity with ``ssmtoybox/utils.py:459-475`` (same column order),
-    since BSQ weights depend on the multi-index ordering through the
-    Vandermonde matrix.
+    Behavioural parity with ``ssmtoybox/utils.py:459-475`` (same column
+    order), since BSQ weights depend on the multi-index ordering through the
+    Vandermonde matrix.  NOTE: the reference recursion is INCOMPLETE for
+    ``n >= 3, k >= 3`` — e.g. it omits (0, 3, 0) for (n=3, k=3), 3 of 15
+    tuples for (3, 4), 4 of 20 for (4, 3) — and that incompleteness is
+    reproduced here bit-for-bit (see docs/parity.md).  For the full set use
+    :func:`n_sum_k_complete`.
     """
     assert k >= 0
     from .. import native
@@ -45,13 +49,32 @@ def n_sum_k(n: int, k: int) -> np.ndarray:
     return np.hstack((temp, a[:, n - 1:] + eye[:, -1, None]))
 
 
-def total_degree_multi_index(dim: int, degree: int) -> np.ndarray:
+def n_sum_k_complete(n: int, k: int) -> np.ndarray:
+    """ALL n-tuples of non-negative ints summing to k (the correct
+    enumeration — C(k+n-1, n-1) columns, lexicographic order), for callers
+    that want a complete total-degree basis instead of reference parity."""
+    assert k >= 0
+    if n == 1:
+        return np.full((1, 1), k, dtype=np.int64)
+    cols = []
+    for first in range(k + 1):
+        rest = n_sum_k_complete(n - 1, k - first)
+        top = np.full((1, rest.shape[1]), first, dtype=np.int64)
+        cols.append(np.vstack([top, rest]))
+    return np.hstack(cols)
+
+
+def total_degree_multi_index(dim: int, degree: int, complete: bool = False) -> np.ndarray:
     """Multi-index matrix of all monomials with total degree <= ``degree``.
 
     Mirrors the multi-index construction in ``BayesSardModel.__init__``
-    (``ssmtoybox/bq/bqmod.py:624-629``).
+    (``ssmtoybox/bq/bqmod.py:624-629``).  With the default
+    ``complete=False`` the per-degree blocks come from the reference's
+    (incomplete for dim >= 3, degree >= 3) :func:`n_sum_k`; pass
+    ``complete=True`` for the full basis via :func:`n_sum_k_complete`.
     """
-    return np.hstack([n_sum_k(dim, td) for td in range(degree + 1)])
+    gen = n_sum_k_complete if complete else n_sum_k
+    return np.hstack([gen(dim, td) for td in range(degree + 1)])
 
 
 def vandermonde(mul_ind, x) -> jax.Array:

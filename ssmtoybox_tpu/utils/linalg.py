@@ -297,9 +297,14 @@ def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     k_dim = a.shape[-1]
     if k_dim > UNROLL_MATMUL_MAX:
         return a @ b
-    # matrix-vector iff b is (..., K) with batch dims matching a's — an
-    # unbatched (K, J) right operand against a batched a must stay matmat
-    is_vec = b.ndim == 1 or (b.ndim == a.ndim - 1 and b.shape[:-1] == a.shape[:-2])
+    # matrix-vector iff b is (..., K) with batch dims matching a's AND its
+    # last dim equal to the contraction dim — without the K check, a batched
+    # a of shape (B, M, K) against an unbatched (K, J) matrix with B == K
+    # would be misread as B vectors and silently produce clamped-index
+    # garbage.  (B == K == J stays ambiguous; the vector reading wins, as
+    # every internal caller batches both operands together.)
+    is_vec = ((b.ndim == 1 or (b.ndim == a.ndim - 1 and b.shape[:-1] == a.shape[:-2]))
+              and b.shape[-1] == k_dim)
     if is_vec:
         out = a[..., :, 0] * b[..., 0, None]
         for k in range(1, k_dim):

@@ -68,13 +68,24 @@ def neg_log_likelihood(x: jax.Array, m: jax.Array, P: jax.Array) -> jax.Array:
     return 0.5 * (pd_logdet(P) + dx_iP_dx + d * jnp.log(2.0 * jnp.pi))
 
 
-def kl_divergence(mean_0, cov_0, mean_1, cov_1) -> jax.Array:
-    """KL divergence between two Gaussians (``utils.py:151-182``)."""
+def kl_divergence(mean_0, cov_0, mean_1, cov_1, compat_flipped_logdet=True) -> jax.Array:
+    """KL divergence between two Gaussians (``utils.py:151-182``).
+
+    NOTE: the reference's log-determinant ratio has the WRONG SIGN
+    (``log(det_0/det_1)``; the true KL(N_0 || N_1) has ``log(det_1/det_0)``),
+    so its values can be negative.  The default reproduces the reference for
+    golden parity; pass ``compat_flipped_logdet=False`` for the correct
+    (non-negative) divergence.  :func:`symmetrized_kl_divergence` is
+    unaffected — the flipped terms cancel in the symmetrization.
+    """
     k = mean_0.shape[-1]
     dmu = mean_0 - mean_1
     inv_1_cov_0 = pd_solve(cov_1, cov_0)
+    logdets = pd_logdet(cov_0) - pd_logdet(cov_1)
+    if not compat_flipped_logdet:
+        logdets = -logdets
     return 0.5 * (jnp.trace(inv_1_cov_0) + dmu @ pd_solve(cov_1, dmu)
-                  + pd_logdet(cov_0) - pd_logdet(cov_1) - k)
+                  + logdets - k)
 
 
 def symmetrized_kl_divergence(mean_0, cov_0, mean_1, cov_1) -> jax.Array:
@@ -102,12 +113,16 @@ def bootstrap_var(key: jax.Array, data: jax.Array, samples: int = 1000) -> jax.A
 # ``research/tpq/tpq_base.py:154-172`` eval_perf_scores).
 # ---------------------------------------------------------------------------
 
-def rmse(x: jax.Array, m: jax.Array, axis=(0,)) -> jax.Array:
-    """Root-mean-square error over the given axes.
+def rmse(x: jax.Array, m: jax.Array, axis=None) -> jax.Array:
+    """Root-mean-square error: the state dimension (axis 0) is summed, then
+    the root of the mean over ``axis`` of the REMAINING array is taken.
 
-    Typical usage: ``x, m`` of shape (D, N, M) -> time-averaged RMSE per run.
+    ``axis=None`` (default) averages everything to a scalar.  Typical:
+    ``x, m`` of shape (D, N, M) with ``axis=0`` -> time-averaged RMSE per
+    run, shape (M,).
     """
-    return jnp.sqrt(jnp.mean(jnp.sum(squared_error(x, m), axis=0), axis=tuple(a - 1 for a in axis if a)))
+    se = jnp.sum(squared_error(x, m), axis=0)
+    return jnp.sqrt(jnp.mean(se, axis=axis))
 
 
 def _lcr_series(x, m, P, MSE):

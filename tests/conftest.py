@@ -5,6 +5,18 @@ multi-chip topologies without hardware) and in float64 because parity against
 the reference is specified at 1e-8.
 """
 import os
+import resource
+
+# XLA's CPU backend compiles on the calling thread; LLVM recursion over the
+# framework's large unrolled programs can overflow the default 8 MB main-
+# thread stack late in a long pytest session (observed: segfault inside
+# backend_compile_and_load on the last test file, not reproducible in
+# isolation).  Lift the stack limit before the first compile.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):  # hard limit not adjustable: keep going
+    pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
@@ -32,6 +44,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    One long pytest session accumulates hundreds of large compiled programs
+    (the framework's unrolled small-linalg graphs are big); on this backend
+    that eventually segfaults inside XLA's CPU ``backend_compile_and_load``
+    on a later compile (observed repeatedly on the LAST module of the full
+    run; any tail subset passes in a fresh process).  Dropping the caches
+    between modules keeps per-process compiled-code footprint bounded.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -276,6 +276,24 @@ class TestStudentKernel:
         np.testing.assert_allclose(np.asarray(ks.exp_x_kxkx(p1, p0, x)), q_mc.T,
                                    atol=1e-12)
 
+    def test_use_pallas_flag_and_grad_path(self):
+        """use_pallas=False gives the differentiable jnp scan path (the
+        Pallas calls have no autodiff rule); both paths agree to MC error."""
+        par = np.array([[1.0, 2.0]])
+        x = jnp.asarray(np.array([[0.0, 1.0, -1.0]]))
+        k_scan = RBFStudent.create(1, par, dof=10.0, num_samples=20_000,
+                                   num_batches=10, use_pallas=False)
+        k_pal = RBFStudent.create(1, par, dof=10.0, num_samples=20_000)
+        g = jax.grad(lambda p: jnp.sum(k_scan.exp_x_qRQ(p, x)[2])
+                     + k_scan.exp_xy_kxy(p))(jnp.asarray(par[0]))
+        assert bool(jnp.isfinite(g).all())
+        q1, _, Q1 = k_pal.exp_x_qRQ(par, x)
+        q2, _, Q2 = k_scan.exp_x_qRQ(par, x)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=2e-2)
+        np.testing.assert_allclose(float(k_pal.exp_xy_kxy(par)),
+                                   float(k_scan.exp_xy_kxy(par)), atol=2e-2)
+
     def test_rq_expectations_shapes(self):
         par = np.array([[1.0, 2.0, 1.0, 1.0]])
         x = jnp.asarray(np.random.RandomState(3).randn(2, 5))

@@ -252,3 +252,70 @@ class TestSqrtValidation:
         init2, _ = make_online_filter(dyn, obs, tf, tf, batch=True)
         with pytest.raises(ValueError, match="batch_size"):
             init2()
+
+
+class TestReviewRegressions:
+    def test_small_matmul_unbatched_square_right_with_matching_batch(self):
+        """Regression: a batched (B, M, K) left against an unbatched (K, J)
+        right with B == K used to be misread as B vectors, producing
+        clamped-index garbage of the wrong shape."""
+        from ssmtoybox_tpu.utils.linalg import small_matmul
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((3, 4, 3)))
+        b = jnp.asarray(rng.standard_normal((3, 2)))
+        out = small_matmul(a, b)
+        assert out.shape == (3, 4, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(a) @ np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_kl_divergence_compat_and_corrected(self):
+        """Default reproduces the reference's flipped log-det (can be
+        negative); compat_flipped_logdet=False gives the true non-negative
+        KL.  The symmetrized form is identical either way."""
+        from ssmtoybox_tpu.utils.metrics import (kl_divergence,
+                                                 symmetrized_kl_divergence)
+        m0 = jnp.zeros(1); c0 = jnp.eye(1)
+        m1 = jnp.zeros(1); c1 = 4.0 * jnp.eye(1)
+        ref_style = float(kl_divergence(m0, c0, m1, c1))
+        true_kl = float(kl_divergence(m0, c0, m1, c1, compat_flipped_logdet=False))
+        # true KL(N(0,1) || N(0,4)) = 0.5*(1/4 - 1 + ln 4)
+        np.testing.assert_allclose(true_kl, 0.5 * (0.25 - 1.0 + np.log(4.0)),
+                                   rtol=1e-12)
+        assert ref_style < 0 < true_kl
+        np.testing.assert_allclose(
+            float(symmetrized_kl_divergence(m0, c0, m1, c1)),
+            0.5 * (ref_style + float(kl_divergence(m1, c1, m0, c0))), rtol=1e-12)
+
+    def test_rmse_axis_semantics(self):
+        from ssmtoybox_tpu.utils.metrics import rmse
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 5, 3)))   # (D, N, M)
+        m = jnp.asarray(rng.standard_normal((2, 5, 3)))
+        per_run = rmse(x, m, axis=0)
+        assert per_run.shape == (3,)
+        expected = np.sqrt(np.mean(np.sum((np.asarray(x) - np.asarray(m)) ** 2,
+                                          axis=0), axis=0))
+        np.testing.assert_allclose(np.asarray(per_run), expected, rtol=1e-12)
+        assert rmse(x, m).shape == ()
+
+    def test_n_sum_k_complete(self):
+        """The reference recursion drops tuples for n>=3, k>=3 (parity kept
+        in n_sum_k, documented); n_sum_k_complete enumerates all of them."""
+        import itertools
+        from ssmtoybox_tpu.utils.combin import n_sum_k, n_sum_k_complete
+        assert n_sum_k(3, 3).shape[1] == 9          # reference parity: 9 of 10
+        full = n_sum_k_complete(3, 3)
+        assert full.shape == (3, 10)
+        got = {tuple(c) for c in np.asarray(full).T}
+        want = {t for t in itertools.product(range(4), repeat=3) if sum(t) == 3}
+        assert got == want
+
+    def test_classical_transform_has_no_dense_wc_leaf(self):
+        """Classical rules carry only the diagonal in the pytree; the dense
+        Wc (reference attribute) is materialized on demand."""
+        tf = st.UnscentedTransform(3)
+        assert tf.Wc_dense is None
+        leaves = jax.tree_util.tree_leaves(tf)
+        assert all(l.ndim < 2 or l.shape == tf.unit_sp.shape for l in leaves)
+        W = np.asarray(tf.Wc)
+        np.testing.assert_allclose(W, np.diag(np.asarray(tf.wc_diag)), rtol=0, atol=0)
