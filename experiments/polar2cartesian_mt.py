@@ -75,12 +75,9 @@ def main():
         mean_d = jnp.concatenate([mean, jnp.zeros(dim - 2)])
         cov_d = jnp.asarray(np.diag([0.05 ** 2, (np.pi / 10) ** 2] + [1.0] * (dim - 2)))
 
-        def f_d(x, pars):
-            return x[0] * jnp.stack([jnp.cos(x[1]), jnp.sin(x[1])])
-
-        mf_full, cf_full, _ = UnscentedTransform(dim).apply(f_d, mean_d, cov_d, None)
+        mf_full, cf_full, _ = UnscentedTransform(dim).apply(polar2cartesian, mean_d, cov_d, None)
         tut = TruncatedUnscentedTransform(dim, 2)
-        mf_tr, cf_tr, _ = tut.apply(f_d, mean_d, cov_d, None)
+        mf_tr, cf_tr, _ = tut.apply(polar2cartesian, mean_d, cov_d, None)
         rows[f"dim={dim}"] = {
             "UT_skl": float(symmetrized_kl_divergence(mean_mc, cov_mc, mf_full, cf_full)),
             "TUT_skl": float(symmetrized_kl_divergence(mean_mc, cov_mc, mf_tr, cf_tr)),

@@ -38,8 +38,6 @@ def main():
     dyn = ConstantVelocity.create(x0, q, dt=0.5)
 
     R_nominal = np.diag([50.0, 0.4e-6])
-    obs_data = Radar2DMeasurement.create(GaussRV.create(2, cov=R_nominal),
-                                         dim_state=4, state_index=[0, 2])
 
     key = jax.random.PRNGKey(args.seed)
     x = dyn.simulate_discrete(key, steps=args.steps, mc_sims=args.mc)

@@ -60,6 +60,25 @@ def test_fit_on_mesh_decreases_loss(setup):
     assert np.all(np.isfinite(np.asarray(lp)))
 
 
+def test_fit_pads_non_divisible_batch(setup):
+    """Regression: a batch not divisible by dp (the reference's canonical
+    B=100 never is, on a power-of-two mesh) used to crash device_put; it is
+    now padded with zero-weight rows, keeping the objective exactly equal
+    to the unpadded one."""
+    dyn, _, _, _ = setup
+    from ssmtoybox_tpu.bq.models import GaussianProcessModel
+    from ssmtoybox_tpu.parallel.fit import nlml_loss
+    mesh = make_mesh(dp=8, fb=1)
+    gp = GaussianProcessModel.create(1, np.array([[1.0, 1.0]]), "rbf", "ut")
+    fo = jax.vmap(lambda s: jax.vmap(lambda c: dyn.dyn_eval(c, 0), in_axes=1)(gp.points * s))(
+        jnp.linspace(0.5, 2.0, 10))         # B=10: not divisible by dp=8
+    lp, losses = fit_kernel_params(gp, jnp.zeros(2), fo, gp.points, num_steps=5, mesh=mesh)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # the padded, weighted first loss equals the unpadded unweighted one
+    l0 = float(nlml_loss(gp, jnp.zeros(2), fo, gp.points))
+    np.testing.assert_allclose(float(losses[0]), l0, rtol=1e-10)
+
+
 def test_graft_entry_points():
     """The driver-facing entry points compile and execute."""
     import sys, os
@@ -163,3 +182,23 @@ def test_mesh_and_metric_guards(setup):
     bank_like = out.replace(fi_mean=out.fi_mean[None])   # (1, M, D, N)
     with pytest.raises(ValueError, match="must match"):
         mc_metrics_sharded(jnp.moveaxis(x, -1, 0), bank_like, mesh)
+
+
+def test_study_scores_isolate_diverged_runs():
+    """Regression: one diverged MC run must not poison the NCI/INC of the
+    healthy runs through the shared sample-MSE normalizer."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    from common import study_scores
+    rng = np.random.default_rng(0)
+    d, n, m = 2, 6, 4
+    x = jnp.asarray(rng.standard_normal((d, n, m)))
+    fm = jnp.asarray(np.moveaxis(np.asarray(x), -1, 0) + 0.1 * rng.standard_normal((m, d, n)))
+    fP = jnp.broadcast_to(jnp.eye(d)[None, :, :, None], (m, d, d, n))
+    fm = fm.at[2, :, 3:].set(jnp.nan)          # run 2 diverges at t=3
+    s = study_scores(x, fm, fP)
+    finite_runs = np.array([0, 1, 3])
+    assert not np.isfinite(np.asarray(s["rmse"])[2])
+    for k in ("nci", "inc", "nll"):
+        vals = np.asarray(s[k])[finite_runs]
+        assert np.isfinite(vals).all(), (k, vals)
