@@ -137,3 +137,46 @@ def test_init_batch_size_guards():
     init, _ = make_online_filter(dyn, obs, tf, tf, batch=False)
     with pytest.raises(ValueError, match="batch=True"):
         init(batch_size=4)
+
+
+def test_fixed_lag_smoother_matches_offline_rts():
+    """At each step n >= lag, the emitted estimate of x_{n-lag+1} given
+    y_{1:n} must equal the offline textbook RTS run on the record truncated
+    at n — the defining property of fixed-lag smoothing."""
+    from ssmtoybox_tpu.online import make_fixed_lag_smoother
+    from ssmtoybox_tpu.ssinf import gaussian_filter, gaussian_smoother
+    dyn, obs, ukf = _setup()
+    lag = 5
+    steps = 14
+    x = dyn.simulate_discrete(jax.random.PRNGKey(4), steps=steps, mc_sims=1)
+    y = obs.simulate_measurements(jax.random.PRNGKey(5), x)[..., 0]
+
+    init, step = make_fixed_lag_smoother(dyn, obs, ukf.tf_dyn, ukf.tf_obs,
+                                         lag=lag, donate=False)
+    state = init()
+    for n in range(1, steps + 1):
+        state, info, (sm_m, sm_P) = step(state, y[:, n - 1])
+        if n >= lag:
+            res = gaussian_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs, y[:, :n])
+            sm_all, sP_all = gaussian_smoother(res, rts_full=True)
+            np.testing.assert_allclose(np.asarray(sm_m), np.asarray(sm_all[:, n - lag]),
+                                       rtol=1e-9, atol=1e-9, err_msg=f"n={n}")
+            np.testing.assert_allclose(np.asarray(sm_P), np.asarray(sP_all[:, :, n - lag]),
+                                       rtol=1e-9, atol=1e-9, err_msg=f"n={n}")
+
+
+def test_fixed_lag_smoother_batched_and_guards():
+    from ssmtoybox_tpu.online import make_fixed_lag_smoother
+    dyn, obs, ukf = _setup()
+    with pytest.raises(ValueError, match="lag >= 2"):
+        make_fixed_lag_smoother(dyn, obs, ukf.tf_dyn, ukf.tf_obs, lag=1)
+    init, step = make_fixed_lag_smoother(dyn, obs, ukf.tf_dyn, ukf.tf_obs,
+                                         lag=3, batch=True, donate=False)
+    with pytest.raises(ValueError, match="batch_size"):
+        init()
+    state = init(batch_size=4)
+    y = jnp.ones((4, 1))
+    for _ in range(6):
+        state, info, (sm_m, sm_P) = step(state, y)
+    assert sm_m.shape == (4, 1) and sm_P.shape == (4, 1, 1)
+    assert bool(jnp.isfinite(sm_m).all())
