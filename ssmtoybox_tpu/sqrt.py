@@ -34,7 +34,8 @@ from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small, tria
 
 __all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
            "SquareRootKalman", "SqrtOnlineState", "SqrtStepInfo",
-           "make_online_sqrt_filter"]
+           "make_online_sqrt_filter", "FixedLagSqrtState",
+           "make_fixed_lag_sqrt_smoother"]
 
 
 class SqrtFilterResult(struct.PyTreeNode):
@@ -224,36 +225,12 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     return filter_fn
 
 
-def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
-    """Build a jitted square-root RTS smoother (textbook indexing).
-
-    Returns ``smooth_fn(data) -> (SqrtFilterResult, sm_mean (D, N), sm_sqrt
-    (D, D, N))``.  The forward pass additionally triangularizes the JOINT
-    deviations of each time update,
-
-    ``[[dfx·√w, S_q], [dX·√w, 0]] → [[S_pr, 0], [L21, R22]]``,
-
-    which yields the smoother gain ``G = L21 S_pr⁻¹`` and the factor ``R22``
-    of ``P_fi − G P_pr Gᵀ`` without ever forming a covariance; the backward
-    pass is then one QR per step, ``S_sm = qr([R22, G·S_sm_next])`` — the
-    array square-root RTS recursion, PD by construction in f32 like the
-    filter.  (The full-covariance smoother lives in
-    :func:`ssmtoybox_tpu.ssinf.gaussian_smoother`, which also reproduces the
-    reference's off-by-one indexing; this one is textbook-only.)
-    """
-    cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
-        mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
-    time_dev, meas_core = cores["time_dev"], cores["meas"]
-    st_ = cores["statics"]
-    sqrt_pos_d, Sq_, wc_d, neg_d = (st_["sqrt_pos_d"], st_["Sq"],
-                                    st_["wc_d"], st_["neg_d"])
-    dim = S0_np.shape[0]
-
-    # the joint factorization's bottom block reconstructs the filtered
-    # covariance as S_fi (sum_i wc_i xi_i xi_i^T) S_fi^T — only valid for
-    # rules whose covariance weights reproduce identity.  The fully-symmetric
-    # Student rule reconstructs dof/(dof-2) * I instead, which would silently
-    # inflate every smoothed covariance.
+def _check_identity_reconstruction(st_, dim):
+    """The joint factorization's bottom block reconstructs the filtered
+    covariance as ``S_fi (sum_i wc_i xi_i xi_i^T) S_fi^T`` — only valid for
+    rules whose covariance weights reproduce identity.  The fully-symmetric
+    Student rule reconstructs ``dof/(dof-2) * I`` instead, which would
+    silently inflate every smoothed covariance."""
     recon = st_["xi_d"] @ np.diag(st_["wc_d_np"]) @ st_["xi_d"].T
     if not np.allclose(recon, np.eye(dim), atol=1e-10):
         raise TypeError(
@@ -261,6 +238,13 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
             "weights reconstruct identity (sum wc_i xi_i xi_i^T = I); this rule "
             f"reconstructs\n{recon}\n(the FS Student rule scales by dof/(dof-2)) "
             "— use the full-covariance smoother for it")
+
+
+def _make_joint_factor(st_, dim):
+    """Build the joint-deviation triangularization shared by the offline and
+    fixed-lag square-root smoothers."""
+    sqrt_pos_d, Sq_, wc_d, neg_d = (st_["sqrt_pos_d"], st_["Sq"],
+                                    st_["wc_d"], st_["neg_d"])
 
     def joint_factor(dfx, dX_in):
         """Lower factor of the joint (x_pred, x_prev) covariance; blocks give
@@ -282,6 +266,33 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
                              jnp.swapaxes(L21, -1, -2), lower=False)
         return L11, jnp.swapaxes(Gt, -1, -2), R22
+
+    return joint_factor
+
+
+def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
+    """Build a jitted square-root RTS smoother (textbook indexing).
+
+    Returns ``smooth_fn(data) -> (SqrtFilterResult, sm_mean (D, N), sm_sqrt
+    (D, D, N))``.  The forward pass additionally triangularizes the JOINT
+    deviations of each time update,
+
+    ``[[dfx·√w, S_q], [dX·√w, 0]] → [[S_pr, 0], [L21, R22]]``,
+
+    which yields the smoother gain ``G = L21 S_pr⁻¹`` and the factor ``R22``
+    of ``P_fi − G P_pr Gᵀ`` without ever forming a covariance; the backward
+    pass is then one QR per step, ``S_sm = qr([R22, G·S_sm_next])`` — the
+    array square-root RTS recursion, PD by construction in f32 like the
+    filter.  (The full-covariance smoother lives in
+    :func:`ssmtoybox_tpu.ssinf.gaussian_smoother`, which also reproduces the
+    reference's off-by-one indexing; this one is textbook-only.)
+    """
+    cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    time_dev, meas_core = cores["time_dev"], cores["meas"]
+    dim = S0_np.shape[0]
+    _check_identity_reconstruction(cores["statics"], dim)
+    joint_factor = _make_joint_factor(cores["statics"], dim)
 
     @jax.jit
     def smooth_fn(data, init_mean=None, init_sqrt=None):
@@ -463,3 +474,125 @@ class SquareRootKalman:
 
     def reset(self):
         self._result = None
+
+
+class FixedLagSqrtState(struct.PyTreeNode):
+    """Streaming square-root fixed-lag smoother carry: filter state plus
+    ring buffers (oldest first) of the filtered moments and the per-step
+    smoother pieces — ``buf_G[j]``/``buf_R22[j]``/``buf_pr_m[j]`` belong to
+    the time update INTO buffer slot ``j``."""
+
+    mean: jax.Array
+    sqrt: jax.Array
+    step: jax.Array
+    buf_fi_m: jax.Array      # (L, D) or (B, L, D)
+    buf_fi_S: jax.Array      # (L, D, D) or (B, L, D, D)
+    buf_G: jax.Array
+    buf_R22: jax.Array
+    buf_pr_m: jax.Array      # (L, D) or (B, L, D)
+
+
+def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
+                                 batch: bool = False, donate: bool = True,
+                                 dtype=None):
+    """Streaming FIXED-LAG smoothing in square-root form — the f32 serving
+    twin of :func:`ssmtoybox_tpu.online.make_fixed_lag_smoother`.
+
+    Every buffered quantity is a Cholesky factor and every backward update is
+    one QR (``S_sm = tria([R22, G S_sm_next])``), so the emitted lagged
+    covariance factor stays PD by construction in ``dtype=jnp.float32``.
+    ``step(state, y, observed=True) -> (state, info, (sm_mean, sm_sqrt))``
+    emits the smoothed estimate of the state ``lag - 1`` steps ago given all
+    data so far (equal to the offline square-root RTS on the truncated
+    record); output is meaningful once ``state.step > lag``.
+    """
+    if lag < 2:
+        raise ValueError(f"fixed-lag smoothing needs lag >= 2; got {lag} "
+                         f"(lag=1 is plain filtering — use make_online_sqrt_filter)")
+    cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    time_dev, meas_core = cores["time_dev"], cores["meas"]
+    dim = S0_np.shape[0]
+    _check_identity_reconstruction(cores["statics"], dim)
+    joint_factor = _make_joint_factor(cores["statics"], dim)
+
+    def _fresh_bufs():
+        m0, S0 = cast(m0_np), cast(S0_np)
+        zero_G = jnp.zeros((lag, dim, dim), dtype=S0.dtype)
+        return dict(
+            buf_fi_m=jnp.broadcast_to(m0, (lag,) + m0.shape),
+            buf_fi_S=jnp.broadcast_to(S0, (lag,) + S0.shape),
+            # zero gains during warmup: the backward scan then passes the
+            # buffered (prior) factors through unchanged
+            buf_G=zero_G,
+            buf_R22=jnp.broadcast_to(S0, (lag,) + S0.shape),
+            buf_pr_m=jnp.broadcast_to(m0, (lag,) + m0.shape),
+        )
+
+    def init(batch_size=None) -> FixedLagSqrtState:
+        if batch and batch_size is None:
+            raise ValueError("batch=True smoothers need init(batch_size=...)")
+        if not batch and batch_size is not None:
+            raise ValueError("init(batch_size=...) requires batch=True")
+        m0, S0 = cast(m0_np), cast(S0_np)
+        bufs = _fresh_bufs()
+        if batch and batch_size is not None:
+            bufs = {k: jnp.array(jnp.broadcast_to(v, (batch_size,) + v.shape), copy=True)
+                    for k, v in bufs.items()}
+            return FixedLagSqrtState(
+                mean=jnp.array(jnp.broadcast_to(m0, (batch_size,) + m0.shape), copy=True),
+                sqrt=jnp.array(jnp.broadcast_to(S0, (batch_size,) + S0.shape), copy=True),
+                step=jnp.ones((batch_size,), jnp.int32), **bufs)
+        bufs = {k: jnp.array(v, copy=True) for k, v in bufs.items()}
+        return FixedLagSqrtState(mean=jnp.array(m0, copy=True),
+                                 sqrt=jnp.array(S0, copy=True),
+                                 step=jnp.asarray(1, jnp.int32), **bufs)
+
+    def _one(state: FixedLagSqrtState, y, observed):
+        k = state.step
+        m_pr, dfx, dX_in = time_dev(state.mean, state.sqrt, k)
+        S_pr, G, R22 = joint_factor(dfx, dX_in)
+        y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
+        m_new = jnp.where(observed, m_fi, m_pr)
+        S_new = jnp.where(observed, S_fi, S_pr)
+
+        shift = lambda buf, new: jnp.roll(buf, -1, axis=0).at[-1].set(new)
+        buf_fi_m = shift(state.buf_fi_m, m_new)
+        buf_fi_S = shift(state.buf_fi_S, S_new)
+        buf_G = shift(state.buf_G, G)
+        buf_R22 = shift(state.buf_R22, R22)
+        buf_pr_m = shift(state.buf_pr_m, m_pr)
+
+        def bstep(carry, inp):
+            m_sm_next, S_sm_next = carry
+            fi_m_j, G_j1, R22_j1, pr_m_j1 = inp
+            m_sm = fi_m_j + small_matmul(G_j1, m_sm_next - pr_m_j1)
+            S_sm = _qr_factor(jnp.concatenate(
+                [R22_j1, small_matmul(G_j1, S_sm_next)], axis=-1))
+            return (m_sm, S_sm), None
+
+        xs = (buf_fi_m[:-1], buf_G[1:], buf_R22[1:], buf_pr_m[1:])
+        (sm_m, sm_S), _ = jax.lax.scan(bstep, (buf_fi_m[-1], buf_fi_S[-1]),
+                                       xs, reverse=True)
+
+        new_state = FixedLagSqrtState(mean=m_new, sqrt=S_new, step=k + 1,
+                                      buf_fi_m=buf_fi_m, buf_fi_S=buf_fi_S,
+                                      buf_G=buf_G, buf_R22=buf_R22,
+                                      buf_pr_m=buf_pr_m)
+        info = SqrtStepInfo(y_pred=y_pr, innov=y - y_pr, innov_sqrt=S_yy)
+        return new_state, info, (sm_m, sm_S)
+
+    inner = jax.vmap(_one, in_axes=(0, 0, 0)) if batch else _one
+
+    def step_fn(state, y, observed):
+        observed = jnp.asarray(observed, bool)
+        if batch and observed.ndim == 0:
+            observed = jnp.broadcast_to(observed, (y.shape[0],))
+        return inner(state, y, observed)
+
+    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step_api(state, y, observed=True):
+        return step(state, cast(y), observed)
+
+    return init, step_api

@@ -319,3 +319,55 @@ class TestReviewRegressions:
         assert all(l.ndim < 2 or l.shape == tf.unit_sp.shape for l in leaves)
         W = np.asarray(tf.Wc)
         np.testing.assert_allclose(W, np.diag(np.asarray(tf.wc_diag)), rtol=0, atol=0)
+
+
+class TestFixedLagSqrt:
+    def test_matches_offline_sqrt_rts(self, ungm):
+        """At each step n >= lag, the emitted factor-form estimate equals the
+        offline square-root RTS on the truncated record."""
+        from ssmtoybox_tpu.sqrt import (make_fixed_lag_sqrt_smoother,
+                                        make_sqrt_smoother)
+        dyn, obs, x, y = ungm
+        tf = st.UnscentedTransform(1)
+        lag, steps = 4, 12
+        data = jnp.asarray(y[..., 0][:, :steps])
+        init, step = make_fixed_lag_sqrt_smoother(dyn, obs, tf, tf, lag=lag,
+                                                  donate=False)
+        smooth = make_sqrt_smoother(dyn, obs, tf, tf)
+        state = init()
+        for n in range(1, steps + 1):
+            state, info, (sm_m, sm_S) = step(state, data[:, n - 1])
+            if n >= lag:
+                _, sm_all, sS_all = smooth(data[:, :n])
+                np.testing.assert_allclose(np.asarray(sm_m),
+                                           np.asarray(sm_all[:, n - lag]),
+                                           rtol=1e-9, atol=1e-9, err_msg=f"n={n}")
+                P_lag = np.asarray(sm_S) @ np.asarray(sm_S).T
+                P_ref = (np.asarray(sS_all[:, :, n - lag]) @
+                         np.asarray(sS_all[:, :, n - lag]).T)
+                np.testing.assert_allclose(P_lag, P_ref, rtol=1e-9, atol=1e-9)
+
+    def test_f32_stays_pd_with_dropouts(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_fixed_lag_sqrt_smoother
+        dyn, obs, x, y = ungm
+        tf = st.UnscentedTransform(1)
+        init, step = make_fixed_lag_sqrt_smoother(dyn, obs, tf, tf, lag=5,
+                                                  donate=False, dtype=jnp.float32)
+        state = init()
+        data = jnp.asarray(y[..., 0])
+        for n in range(min(20, data.shape[-1])):
+            state, info, (sm_m, sm_S) = step(state, data[:, n],
+                                             observed=(n % 4 != 2))
+        assert sm_m.dtype == jnp.float32
+        assert bool(jnp.isfinite(sm_m).all())
+        assert float(sm_S[0, 0]) > 0
+
+    def test_guards(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_fixed_lag_sqrt_smoother
+        dyn, obs, _, _ = ungm
+        tf = st.UnscentedTransform(1)
+        with pytest.raises(ValueError, match="lag >= 2"):
+            make_fixed_lag_sqrt_smoother(dyn, obs, tf, tf, lag=1)
+        init, _ = make_fixed_lag_sqrt_smoother(dyn, obs, tf, tf, lag=3, batch=True)
+        with pytest.raises(ValueError, match="batch_size"):
+            init()
