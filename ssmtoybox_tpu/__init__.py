@@ -33,7 +33,9 @@ from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
     FullySymmetricStudent, StudentProcessStudent, ExtendedStudent, GPQStudent,
+    IteratedPosteriorLinearizationKalman,
     gaussian_filter, gaussian_smoother, gaussian_filter_batch, studentian_filter,
+    iterated_gaussian_filter, slr_affine,
 )
 
 __all__ = [
@@ -46,5 +48,6 @@ __all__ = [
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
     "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
+    "IteratedPosteriorLinearizationKalman", "iterated_gaussian_filter", "slr_affine",
     "SquareRootKalman", "make_sqrt_filter", "make_sqrt_smoother", "SqrtFilterResult",
 ]

@@ -40,7 +40,7 @@ import numpy as np
 from flax import struct
 from jax.scipy.linalg import block_diag
 
-from ..ssinf import _tf_apply
+from ..ssinf import _tf_apply, slr_affine
 from ..utils.linalg import (chol_small_psd, pd_solve_small, small_matmul,
                             small_mm3, symmetrize, tri_solve_small, tria)
 from .timescan import parallel_affine_filter, parallel_affine_smoother
@@ -54,22 +54,6 @@ __all__ = [
     "IteratedSmootherResult",
     "iterated_parallel_smoother",
 ]
-
-
-def slr_affine(tf, f, mean, cov, time, theta=None):
-    """Statistical linear regression of ``f`` about ``N(mean, cov)``.
-
-    Returns ``(A, b, Omega)`` such that ``f(x) ≈ A x + b + e`` with
-    ``e ~ N(0, Omega)``: with ``C = Cov(f(x), x)`` of shape (E, D) (the
-    ``cov_fx`` orientation of ``mtran.py:14-46``), ``A = C P^{-1}``,
-    ``b = mu - A m`` and ``Omega = S - A P A^T`` — the moment-matched affine
-    fit implied by the moment transform ``tf``.
-    """
-    mu, S, C = _tf_apply(tf, f, mean, cov, time, theta)
-    A = pd_solve_small(cov, C.T).T                     # (E, D)
-    b = mu - small_matmul(A, mean)
-    Omega = symmetrize(S - small_mm3(A, cov, A.T))
-    return A, b, Omega
 
 
 class IteratedSmootherResult(struct.PyTreeNode):

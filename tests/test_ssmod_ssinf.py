@@ -348,3 +348,69 @@ class TestCompiledMarginal:
         fm, fP = res.fi_mean, res.fi_cov
         assert fm.shape == (3, 1, 5)
         assert bool(jnp.isfinite(fm).all())
+
+
+class TestIteratedFilter:
+    def test_one_iteration_equals_standard_filter(self, ungm):
+        """iterations=1 linearizes about the predictive, which is EXACTLY the
+        standard sigma-point measurement update."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(11), steps=40, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(12), x)[..., 0]
+        ukf = st.UnscentedKalman(dyn, obs)
+        fm, fP = ukf.forward_pass(y)
+        res = st.ssinf.iterated_gaussian_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs,
+                                                jnp.asarray(y), iterations=1)
+        np.testing.assert_allclose(np.asarray(res.fi_mean), np.asarray(fm),
+                                   rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(res.fi_cov), np.asarray(fP),
+                                   rtol=1e-11, atol=1e-11)
+
+    def test_iterations_help_on_strong_nonlinearity(self):
+        """CV + precise radar with a poor prior — the classic IPLF setting:
+        re-linearizing about the posterior must improve RMSE over the
+        single-update filter (measured 0.93 -> 0.85) and converge.  (On
+        multimodal measurements like UNGM's quadratic the iteration can lock
+        onto a mode and HURT — that is inherent to posterior linearization,
+        not a defect; see Garcia-Fernandez et al. 2015.)"""
+        x0 = GaussRV.create(4, mean=np.array([100., 2., 100., -1.]),
+                            cov=np.diag([400.0, 25.0, 400.0, 25.0]))
+        dyn = ConstantVelocity.create(x0, GaussRV.create(2, cov=0.1 * np.eye(2)), dt=0.5)
+        obs = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([1.0, 1e-4])),
+                                        dim_state=4, state_index=[0, 2])
+        x = dyn.simulate_discrete(jax.random.PRNGKey(13), steps=60, mc_sims=16)
+        y = obs.simulate_measurements(jax.random.PRNGKey(14), x)
+        alg1 = st.IteratedPosteriorLinearizationKalman(dyn, obs, iterations=1)
+        alg5 = st.IteratedPosteriorLinearizationKalman(dyn, obs, iterations=5)
+        r1 = alg1.forward_pass_batch(jnp.moveaxis(jnp.asarray(y), -1, 0))
+        r5 = alg5.forward_pass_batch(jnp.moveaxis(jnp.asarray(y), -1, 0))
+        xt = jnp.moveaxis(jnp.asarray(x), -1, 0)
+        rmse = lambda r: float(jnp.sqrt(jnp.mean((r.fi_mean - xt) ** 2)))
+        assert bool(jnp.isfinite(r5.fi_mean).all())
+        assert rmse(r5) < 0.95 * rmse(r1), (rmse(r5), rmse(r1))
+
+    def test_class_api_smooths_and_guards(self, ungm):
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(15), steps=30, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(16), x)[..., 0]
+        alg = st.IteratedPosteriorLinearizationKalman(dyn, obs, points="sr",
+                                                      iterations=3)
+        fm, fP = alg.forward_pass(y)
+        sm, sP = alg.backward_pass(rts_full=True)
+        assert bool(jnp.isfinite(sm).all()) and bool(jnp.isfinite(sP).all())
+        with np.testing.assert_raises(ValueError):
+            st.IteratedPosteriorLinearizationKalman(dyn, obs, points="bogus")
+        with np.testing.assert_raises(ValueError):
+            st.IteratedPosteriorLinearizationKalman(dyn, obs, iterations=0)
+
+    def test_nonadditive_measurement_path(self):
+        from ssmtoybox_tpu.ssmod import UNGMNATransition, UNGMNAMeasurement
+        dyn = UNGMNATransition.create(GaussRV.create(1, mean=1.0, cov=1.0),
+                                      GaussRV.create(1, cov=10.0))
+        obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(17), steps=30, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(18), x)[..., 0]
+        tf = st.UnscentedTransform(2)
+        res = st.ssinf.iterated_gaussian_filter(dyn, obs, tf, tf,
+                                                jnp.asarray(y), iterations=4)
+        assert bool(jnp.isfinite(res.fi_mean).all())
