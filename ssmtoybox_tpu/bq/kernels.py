@@ -299,8 +299,9 @@ class RBFStudent(RBFGauss):
         the full sample budget and re-evaluate the Gram (the reference's
         structure, ``bqkern.py:476-524``), making filter construction with
         this kernel the single most expensive init path (SURVEY §3.3).  The
-        kernel accumulates in f32; its rounding (~1e-7) is far below the MC
-        error (~1/sqrt(num_samples) ≈ 7e-4 at the default budget).  With
+        kernel emits per-chunk f32 partials reduced in f64 outside, so the
+        accumulated expectations stay at MC-noise accuracy even for the
+        ill-conditioned long-lengthscale weight solves (see pallas_ops).  With
         ``use_pallas=False`` falls back to the differentiable scan
         composition."""
         if not self.use_pallas:

@@ -24,8 +24,12 @@ Three kernels, chosen by profiling the reference's cost structure (SURVEY §3.3)
 
 Pallas TPU compute is float32 (Mosaic has no f64 VPU/MXU path); the kernels
 run in f32 with f64 in/out casts.  That is exact for ``vandermonde`` on
-sigma-point-scale inputs and far below the O(1e-3) Monte-Carlo error of the
-Student expectations.  Off-TPU the same kernels run in interpret mode; the
+sigma-point-scale inputs.  The Student MC kernels emit PER-CHUNK f32 partial
+sums that are reduced in f64 outside the kernel: per-chunk rounding averages
+out across chunks, whereas in-kernel f32 accumulation would quantize the
+final expectations at ~1e-7 relative — uncorrelated noise that ill-
+conditioned BQ weight solves (long lengthscales, lambda_min(K) ~ 1e-7)
+amplify into O(1) weight errors where correlated f64 MC noise cancels.  Off-TPU the same kernels run in interpret mode; the
 Student kernels are NOT differentiable (no pallas autodiff rule) — callers
 needing ``jax.grad`` through rbf-student expectations build the kernel with
 ``RBFStudent.create(..., use_pallas=False)`` to get the differentiable jnp
@@ -56,14 +60,20 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _student_exp_kernel(inv_l_ref, xs_ref, xp_ref, q_ref, r_ref, Q_ref):
-    """One grid step: fold a (C, Dp) sample chunk into the running q/R/Q.
+    """One grid step: reduce a (C, Dp) sample chunk to per-chunk q/R/Q
+    partial sums.
 
     All operands live in VMEM; the Gram tile ``k`` exists only as a register/
-    VMEM intermediate.  Output specs map every grid step to the same block, so
-    accumulation across chunks is the standard revisiting pattern.
+    VMEM intermediate.  Each grid step writes ITS OWN output block (no
+    in-kernel accumulation across chunks): the cross-chunk reduction happens
+    outside in f64.  Accumulating across chunks in f32 here would quantize
+    the ~``total``-magnitude running sums at ~1e-7 relative — uncorrelated
+    noise per entry that an ill-conditioned BQ weight solve (lengthscales >>
+    point spread give Gram matrices with lambda_min ~ 1e-7) amplifies into
+    O(1) weight errors, where the correlated f64 Monte-Carlo error cancels.
+    Per-chunk partials quantize at chunk magnitude instead, keeping the final
+    f64-summed expectations at MC-noise accuracy.
     """
-    i = pl.program_id(0)
-
     xs = xs_ref[:]                                   # (C, Dp) raw samples
     xp = xp_ref[:]                                   # (Np, Dp) raw points
     inv_l = inv_l_ref[:]                             # (1, Dp); 0 in padded dims
@@ -75,21 +85,9 @@ def _student_exp_kernel(inv_l_ref, xs_ref, xp_ref, q_ref, r_ref, Q_ref):
     # Gram tile on the MXU; padded points sit ~1e3 away -> exp(-big) == 0
     k = jnp.exp(-0.5 * (s2 + p2) + jnp.dot(s, p.T, preferred_element_type=jnp.float32))
 
-    q_c = jnp.sum(k, axis=0, keepdims=True)                              # (1, Np)
-    r_c = jnp.dot(xs.T, k, preferred_element_type=jnp.float32)           # (Dp, Np)
-    Q_c = jnp.dot(k.T, k, preferred_element_type=jnp.float32)            # (Np, Np)
-
-    @pl.when(i == 0)
-    def _():
-        q_ref[:] = q_c
-        r_ref[:] = r_c
-        Q_ref[:] = Q_c
-
-    @pl.when(i > 0)
-    def _():
-        q_ref[:] = q_ref[:] + q_c
-        r_ref[:] = r_ref[:] + r_c
-        Q_ref[:] = Q_ref[:] + Q_c
+    q_ref[0, 0, :] = jnp.sum(k, axis=0)                                    # (Np,)
+    r_ref[0, :, :] = jnp.dot(xs.T, k, preferred_element_type=jnp.float32)  # (Dp, Np)
+    Q_ref[0, :, :] = jnp.dot(k.T, k, preferred_element_type=jnp.float32)   # (Np, Np)
 
 
 def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
@@ -145,17 +143,21 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
     # cannot legalize ("func.return (i64, i64)"); the kernel is all-f32, so
     # trace it with x64 off
     with jax.enable_x64(False):
-        q, r, Q = _student_pallas_call(grid, dp, np_pad, chunk, interpret,
-                                       inv_l, xs, xp)
+        q_c, r_c, Q_c = _student_pallas_call(grid, dp, np_pad, chunk, interpret,
+                                             inv_l, xs, xp)
 
+    # cross-chunk reduction in f64 (or the best the ambient mode allows) —
+    # see the precision note in _student_exp_kernel
+    acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     inv_total = 1.0 / total
-    q_out = (q[0, :n] * inv_total).astype(in_dtype)
-    r_out = (r[:d, :n] * inv_total).astype(in_dtype)
-    Q_out = (Q[:n, :n] * inv_total).astype(in_dtype)
+    q_out = (jnp.sum(q_c.astype(acc_t), axis=0)[0, :n] * inv_total).astype(in_dtype)
+    r_out = (jnp.sum(r_c.astype(acc_t), axis=0)[:d, :n] * inv_total).astype(in_dtype)
+    Q_out = (jnp.sum(Q_c.astype(acc_t), axis=0)[:n, :n] * inv_total).astype(in_dtype)
     return q_out, r_out, Q_out
 
 
 def _student_pallas_call(grid, dp, np_pad, chunk, interpret, inv_l, xs, xp):
+    num_chunks = grid[0]
     return pl.pallas_call(
         _student_exp_kernel,
         grid=grid,
@@ -165,14 +167,14 @@ def _student_pallas_call(grid, dp, np_pad, chunk, interpret, inv_l, xs, xp):
             pl.BlockSpec((np_pad, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_pad, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_pad, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, np_pad), jnp.float32),
-            jax.ShapeDtypeStruct((dp, np_pad), jnp.float32),
-            jax.ShapeDtypeStruct((np_pad, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks, 1, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks, dp, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks, np_pad, np_pad), jnp.float32),
         ),
         interpret=interpret,
     )(inv_l, xs, xp)
@@ -181,21 +183,14 @@ def _student_pallas_call(grid, dp, np_pad, chunk, interpret, inv_l, xs, xp):
 def _student_kxy_kernel(inv_l_ref, xs_ref, out_ref):
     """Per-chunk pairwise ``E[k(x, y)]`` contribution: all off-diagonal pairs
     of the chunk's sample-sample Gram.  ``k_ii = exp(0) = 1`` exactly, so the
-    diagonal is removed arithmetically (no trace op needed)."""
-    i = pl.program_id(0)
+    diagonal is removed arithmetically (no trace op needed).  Each grid step
+    writes its own output slot; the cross-chunk mean is taken outside in f64
+    (see the precision note in :func:`_student_exp_kernel`)."""
     s = xs_ref[:] * inv_l_ref[:]
     s2 = jnp.sum(s * s, axis=1, keepdims=True)       # (C, 1)
     k = jnp.exp(-0.5 * (s2 + s2.T) + jnp.dot(s, s.T, preferred_element_type=jnp.float32))
     c = k.shape[0]
-    val = (jnp.sum(k) - c) / (c - 1)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[0, 0] = val
-
-    @pl.when(i > 0)
-    def _():
-        out_ref[0, 0] = out_ref[0, 0] + val
+    out_ref[pl.program_id(0), 0] = (jnp.sum(k) - c) / (c - 1)
 
 
 def student_kxy(par, dim: int, dof: float, num_samples: int = 2_000_000,
@@ -239,11 +234,12 @@ def student_kxy(par, dim: int, dof: float, num_samples: int = 2_000_000,
                 pl.BlockSpec((1, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((num_chunks, 1), jnp.float32),
             interpret=interpret,
         )(inv_l, xs)
-    return (acc[0, 0] / total).astype(jnp.asarray(par).dtype)
+    acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return (jnp.sum(acc.astype(acc_t)) / total).astype(jnp.asarray(par).dtype)
 
 
 # ---------------------------------------------------------------------------
