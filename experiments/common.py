@@ -71,19 +71,27 @@ def study_scores(x_true, fi_mean, fi_cov):
     }
 
 
-def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True):
+def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True,
+                    warmup=True):
     """Run every filter over all MC trajectories (vmapped) and score it.
 
     ``y``/``x`` follow the reference layout (dim, steps, mc_sims).
     Returns (scores_df, raw) where ``scores_df`` is a pandas table of
     mean +/- 2*std-of-mean per algorithm.
+
+    ``warmup=True`` runs each filter's batch twice so the reported
+    wall-clock excludes trace+compile (the batch is shape-specialized, so a
+    smaller warm batch would compile a different program).  For very large
+    banks where the doubled compute outweighs the timing nicety, pass
+    ``warmup=False`` — wallclock_s then includes compilation.
     """
     ys = jnp.moveaxis(jnp.asarray(y), -1, 0)
     rows = {}
     raw = {}
     for name, alg in algs.items():
-        res = alg.forward_pass_batch(ys)
-        sync(res)          # first call: trace + compile + warm
+        if warmup:
+            res = alg.forward_pass_batch(ys)
+            sync(res)      # first call: trace + compile + warm
         t0 = time.time()
         res = alg.forward_pass_batch(ys)
         sync(res)          # forced completion (block_until_ready can return early)

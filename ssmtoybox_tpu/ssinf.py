@@ -582,6 +582,10 @@ class IteratedPosteriorLinearizationKalman(GaussianInference):
         if points not in make:
             raise ValueError(f"unsupported point set {points!r}; choose from "
                              f"{self.SUPPORTED_POINTS}")
+        if points == "sr" and hyp:
+            raise ValueError(
+                "the spherical-radial rule takes no hyperparameters; got "
+                f"point_hyp={hyp} — drop it or pick points in ('ut', 'gh', 'fs')")
         super().__init__(dyn, obs, make[points](dyn.dim_in), make[points](obs.dim_in))
         if iterations < 1:
             raise ValueError(f"iterations must be >= 1; got {iterations}")
@@ -745,12 +749,16 @@ class GPQStudent(StudentianInference):
         point_hyp_dyn = dict(point_hyp, dof=q_dof)
         point_hyp_obs = dict(point_hyp, dof=r_dof)
         mc_opts = dict(mc_opts or {})
+        # noise dof shapes the POINTS only; the kernel's Student weighting
+        # density stays at its St(0, I, 4) default like the reference
+        # (``tpq_base.py:77-91`` + ``bqmod.py:421``) — see the parity note in
+        # ``bq/transforms.py`` (StudentTProcessTransform.create)
         t_dyn = GaussianProcessTransform.create(dyn.dim_in, 1, kern_par_dyn,
                                                 "rbf-student", "fs", point_hyp_dyn,
-                                                dof=q_dof, **mc_opts)
+                                                **mc_opts)
         t_obs = GaussianProcessTransform.create(obs.dim_in, 1, kern_par_obs,
                                                 "rbf-student", "fs", point_hyp_obs,
-                                                dof=r_dof, **mc_opts)
+                                                **mc_opts)
         super().__init__(dyn, obs, t_dyn, t_obs, dof, fixed_dof)
 
 
@@ -1006,7 +1014,11 @@ class MarginalInference(GaussianInference):
         covariance — so the entire time loop compiles, batches under ``vmap``
         and runs on-device.  (The BFGS path above remains the
         reference-faithful option; its ``hess_inv`` is a quasi-Newton
-        *estimate*, so the two variants agree approximately, not bitwise.)
+        *estimate* and the per-step parameter posterior is multimodal, so the
+        two variants agree tightly on step 1 and at the study level, but can
+        settle in different posterior modes at individual later steps — the
+        quantified regression gate lives in
+        ``tests/test_parity.py::test_marginal_bfgs_vs_newton_quantified``.)
         """
         data = jnp.asarray(data)
         self._result = self._jit_marginal(

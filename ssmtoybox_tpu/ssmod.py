@@ -577,7 +577,8 @@ class Radar2DMeasurement(MeasurementModel):
     def create(cls, noise_rv, dim_state: int, state_index=None, radar_loc=None):
         if radar_loc is None:
             radar_loc = np.zeros(2)
-        radar_loc = jnp.asarray(radar_loc, dtype=noise_rv.mean.dtype)
+        # get_stats()[0] is the mean for every RV flavour (incl. mixtures)
+        radar_loc = jnp.asarray(radar_loc, dtype=noise_rv.get_stats()[0].dtype)
         return super().create(noise_rv, dim_state, state_index, radar_loc=radar_loc)
 
     def meas_fcn(self, x, r, time):

@@ -120,6 +120,11 @@ def rmse(x: jax.Array, m: jax.Array, axis=None) -> jax.Array:
     ``axis=None`` (default) averages everything to a scalar.  Typical:
     ``x, m`` of shape (D, N, M) with ``axis=0`` -> time-averaged RMSE per
     run, shape (M,).
+
+    .. note:: semantic break vs the reference (``utils.py`` has no rmse;
+       research scripts keep per-run arrays): an early revision defaulted to
+       ``axis=(0,)`` (per-run array); the default is now a scalar.  Pass an
+       explicit ``axis`` to get unreduced arrays.
     """
     se = jnp.sum(squared_error(x, m), axis=0)
     return jnp.sqrt(jnp.mean(se, axis=axis))

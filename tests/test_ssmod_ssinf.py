@@ -402,6 +402,11 @@ class TestIteratedFilter:
             st.IteratedPosteriorLinearizationKalman(dyn, obs, points="bogus")
         with np.testing.assert_raises(ValueError):
             st.IteratedPosteriorLinearizationKalman(dyn, obs, iterations=0)
+        with np.testing.assert_raises(ValueError):
+            # SR takes no hyperparameters; silently dropping them would hide
+            # user intent (advisor finding, round 1)
+            st.IteratedPosteriorLinearizationKalman(dyn, obs, points="sr",
+                                                    point_hyp={"kappa": 1.0})
 
     def test_nonadditive_measurement_path(self):
         from ssmtoybox_tpu.ssmod import UNGMNATransition, UNGMNAMeasurement
