@@ -72,7 +72,9 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                                init="observer", block_len: int = 2048,
                                warmup: int = 512, sqrt: bool = False,
                                dtype=None,
-                               chol_jitter: float = 0.0) -> IteratedSmootherResult:
+                               chol_jitter: float = 0.0,
+                               scan_block_len: int | None = None
+                               ) -> IteratedSmootherResult:
     """Iterated posterior-linearization smoother with a time-parallel core.
 
     Per iteration: SLR of the dynamics/measurement about the current smoothed
@@ -123,6 +125,10 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     covariance ``A_q Q A_qᵀ + Omega``.  Time conventions match the sequential
     filter: step ``k`` (1-based) evaluates both models at ``time = k-1``
     (``ssinf.py:276,287``).
+
+    ``scan_block_len`` (sqrt mode) chunks the associative scans into a
+    scan-of-scans with bounded temporaries — set it (e.g. 65536) for records
+    beyond the ~100k-step vmem ceiling; results are identical.
 
     ``sqrt=True`` routes the affine passes through the time-parallel
     SQUARE-ROOT filter/smoother (:mod:`ssmtoybox_tpu.parallel.sqrttime`):
@@ -238,9 +244,11 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         if sqrt:
             Fs, bds, SQs = jax.vmap(slr_dyn_sqrt)(lin_m[:-1], lin_P[:-1], times)
             Hs, cs, SRs = jax.vmap(slr_obs_sqrt)(lin_m[1:], lin_P[1:], times)
-            fi_m, fi_cov = parallel_affine_sqrt_filter(Fs, bds, SQs, Hs, cs, SRs,
-                                                       m0, S0, data)
-            sm_m, sm_S = parallel_affine_sqrt_smoother(Fs, bds, SQs, fi_m, fi_cov)
+            fi_m, fi_cov = parallel_affine_sqrt_filter(
+                Fs, bds, SQs, Hs, cs, SRs, m0, S0, data,
+                scan_block_len=scan_block_len)
+            sm_m, sm_S = parallel_affine_sqrt_smoother(
+                Fs, bds, SQs, fi_m, fi_cov, scan_block_len=scan_block_len)
             # the next SLR consumes full smoothed covariances; the filtered
             # factor is carried as-is and reconstituted once after the loop
             sm_P = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)

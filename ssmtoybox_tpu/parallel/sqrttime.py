@@ -53,6 +53,64 @@ __all__ = ["parallel_affine_sqrt_filter", "parallel_affine_sqrt_smoother",
            "parallel_linear_sqrt_filter", "parallel_linear_sqrt_smoother"]
 
 
+def _blocked_associative_scan(fn, elems, identity, block_len: int,
+                              reverse: bool = False):
+    """Scan-of-associative-scans with bounded temporaries.
+
+    ``jax.lax.associative_scan`` keeps O(N) intermediate element arrays live
+    per tree level, which tops out the scoped vmem near 100k-step records for
+    the square-root combines (docs/performance.md).  This helper computes the
+    identical prefix (or suffix) compositions by scanning fixed-size blocks:
+    an in-block ``associative_scan`` (temporaries bounded by ``block_len``)
+    inside a sequential ``lax.scan`` whose carry is the running composition
+    of all finished blocks, applied to each in-block prefix with one extra
+    combine.  ``identity`` must be a two-sided identity element of ``fn``
+    (used as the initial carry and as tail padding).
+    """
+    if reverse:
+        # exactly lax.associative_scan's reverse=True semantics: flip, scan
+        # forward with the SAME fn (argument order untouched — the smoother
+        # combine already encodes the flipped convention), flip back
+        flip = lambda t: jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), t)
+        return flip(_blocked_associative_scan(fn, flip(elems), identity,
+                                              block_len))
+
+    n = jax.tree_util.tree_leaves(elems)[0].shape[0]
+    num_blocks = -(-n // block_len)
+    pad = num_blocks * block_len - n
+    if pad:
+        elems = jax.tree_util.tree_map(
+            lambda x, idl: jnp.concatenate(
+                [x, jnp.broadcast_to(idl, (pad,) + idl.shape)], axis=0),
+            elems, identity)
+    blocks = jax.tree_util.tree_map(
+        lambda x: x.reshape((num_blocks, block_len) + x.shape[1:]), elems)
+
+    def step(carry, blk):
+        scanned = jax.lax.associative_scan(fn, blk)
+        out = jax.vmap(fn, in_axes=(None, 0))(carry, scanned)
+        new_carry = jax.tree_util.tree_map(lambda x: x[-1], out)
+        return new_carry, out
+
+    _, outs = jax.lax.scan(step, identity, blocks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((num_blocks * block_len,) + x.shape[2:])[:n], outs)
+
+
+def _filter_identity(d: int, dtype):
+    """Two-sided identity of :func:`_combine_sqrt_filter`:
+    ``x -> I x + 0`` with zero covariance and zero information."""
+    return (jnp.eye(d, dtype=dtype), jnp.zeros((d,), dtype),
+            jnp.zeros((d, d), dtype), jnp.zeros((d,), dtype),
+            jnp.zeros((d, d), dtype))
+
+
+def _smoother_identity(d: int, dtype):
+    """Two-sided identity of :func:`_combine_sqrt_smoother`."""
+    return (jnp.eye(d, dtype=dtype), jnp.zeros((d,), dtype),
+            jnp.zeros((d, d), dtype))
+
+
 def _tria_pad(cols: jax.Array) -> jax.Array:
     """:func:`tria` tolerant of fewer columns than rows (rank-deficient
     Grams, e.g. low-rank process noise ``G Q Gᵀ``): zero-pads the column
@@ -175,7 +233,8 @@ def _combine_sqrt_filter(elem1, elem2):
     return A, b, U, eta, Z
 
 
-def parallel_affine_sqrt_filter(Fs, bs, SQs, Hs, cs, SRs, m0, S0, data
+def parallel_affine_sqrt_filter(Fs, bs, SQs, Hs, cs, SRs, m0, S0, data,
+                                scan_block_len: int | None = None
                                 ) -> Tuple[jax.Array, jax.Array]:
     """Square-root Kalman filter for a time-varying affine model in O(log N)
     parallel depth.
@@ -190,15 +249,26 @@ def parallel_affine_sqrt_filter(Fs, bs, SQs, Hs, cs, SRs, m0, S0, data
     Returns ``(fi_mean (D, N), fi_sqrt (D, D, N))`` with
     ``fi_sqrt[..., k] fi_sqrt[..., k]ᵀ`` equal (to rounding) to the
     sequential filtered covariance — and PD by construction in f32.
+
+    ``scan_block_len`` bounds the associative scan's live temporaries (the
+    ~100k-step vmem ceiling) by running it as a scan-of-scans; results are
+    identical.  65536 handles 1M-step f32 records on one v5e chip.
     """
     ys = jnp.asarray(data).T
     elems = _sqrt_filter_elements(Fs, bs, SQs, Hs, cs, SRs,
                                   jnp.asarray(m0), jnp.asarray(S0), ys)
-    _, b, U, _, _ = jax.lax.associative_scan(_combine_sqrt_filter, elems)
+    if scan_block_len:
+        d = jnp.asarray(m0).shape[0]
+        _, b, U, _, _ = _blocked_associative_scan(
+            _combine_sqrt_filter, elems, _filter_identity(d, elems[0].dtype),
+            int(scan_block_len))
+    else:
+        _, b, U, _, _ = jax.lax.associative_scan(_combine_sqrt_filter, elems)
     return jnp.moveaxis(b, 0, -1), jnp.moveaxis(U, 0, -1)
 
 
-def parallel_linear_sqrt_filter(F, SQ, H, SR, m0, S0, data
+def parallel_linear_sqrt_filter(F, SQ, H, SR, m0, S0, data,
+                                scan_block_len: int | None = None
                                 ) -> Tuple[jax.Array, jax.Array]:
     """Constant-coefficient wrapper over :func:`parallel_affine_sqrt_filter`."""
     data = jnp.asarray(data)
@@ -208,7 +278,8 @@ def parallel_linear_sqrt_filter(F, SQ, H, SR, m0, S0, data
     zero_b = jnp.zeros((n, F.shape[0]), dtype=F.dtype)
     zero_c = jnp.zeros((n, H.shape[0]), dtype=F.dtype)
     return parallel_affine_sqrt_filter(rep(F), zero_b, rep(SQ), rep(H), zero_c,
-                                       rep(SR), m0, S0, data)
+                                       rep(SR), m0, S0, data,
+                                       scan_block_len=scan_block_len)
 
 
 def _combine_sqrt_smoother(elem2, elem1):
@@ -222,7 +293,8 @@ def _combine_sqrt_smoother(elem2, elem1):
     return E, g, D
 
 
-def parallel_affine_sqrt_smoother(Fs, bs, SQs, fi_mean, fi_sqrt
+def parallel_affine_sqrt_smoother(Fs, bs, SQs, fi_mean, fi_sqrt,
+                                  scan_block_len: int | None = None
                                   ) -> Tuple[jax.Array, jax.Array]:
     """Square-root RTS smoothing of the parallel square-root filter output in
     O(log N) depth.
@@ -259,12 +331,18 @@ def parallel_affine_sqrt_smoother(Fs, bs, SQs, fi_mean, fi_sqrt
     g = jnp.concatenate([g, m[-1:]], axis=0)
     D = jnp.concatenate([D, S[-1:]], axis=0)
 
-    E_s, g_s, D_s = jax.lax.associative_scan(_combine_sqrt_smoother, (E, g, D),
-                                             reverse=True)
+    if scan_block_len:
+        E_s, g_s, D_s = _blocked_associative_scan(
+            _combine_sqrt_smoother, (E, g, D), _smoother_identity(d, S.dtype),
+            int(scan_block_len), reverse=True)
+    else:
+        E_s, g_s, D_s = jax.lax.associative_scan(_combine_sqrt_smoother,
+                                                 (E, g, D), reverse=True)
     return jnp.moveaxis(g_s, 0, -1), jnp.moveaxis(D_s, 0, -1)
 
 
-def parallel_linear_sqrt_smoother(F, SQ, fi_mean, fi_sqrt
+def parallel_linear_sqrt_smoother(F, SQ, fi_mean, fi_sqrt,
+                                  scan_block_len: int | None = None
                                   ) -> Tuple[jax.Array, jax.Array]:
     """Constant-coefficient wrapper over :func:`parallel_affine_sqrt_smoother`."""
     F = jnp.asarray(F)
@@ -272,4 +350,5 @@ def parallel_linear_sqrt_smoother(F, SQ, fi_mean, fi_sqrt
     n = jnp.asarray(fi_mean).shape[-1]
     rep = lambda a: jnp.broadcast_to(a, (n,) + a.shape)
     zero_b = jnp.zeros((n, F.shape[0]), dtype=F.dtype)
-    return parallel_affine_sqrt_smoother(rep(F), zero_b, rep(SQ), fi_mean, fi_sqrt)
+    return parallel_affine_sqrt_smoother(rep(F), zero_b, rep(SQ), fi_mean,
+                                         fi_sqrt, scan_block_len=scan_block_len)

@@ -131,6 +131,29 @@ def test_more_measurements_than_states():
                                rtol=1e-9, atol=1e-9)
 
 
+def test_blocked_scan_matches_unchunked():
+    """``scan_block_len`` (the vmem-bounded scan-of-scans) must reproduce the
+    unchunked associative scan exactly — including a ragged tail block (64
+    steps over block_len=24 leaves a 16-step remainder that exercises the
+    identity padding) — for both the filter and the reverse smoother."""
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup()
+    SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
+    fm, fS = parallel_linear_sqrt_filter(F, SQ, H, SR, x0.mean, S0, y)
+    fm_b, fS_b = parallel_linear_sqrt_filter(F, SQ, H, SR, x0.mean, S0, y,
+                                             scan_block_len=24)
+    np.testing.assert_allclose(np.asarray(fm_b), np.asarray(fm),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fS_b), np.asarray(fS),
+                               rtol=1e-10, atol=1e-10)
+    sm, sS = parallel_linear_sqrt_smoother(F, SQ, fm, fS)
+    sm_b, sS_b = parallel_linear_sqrt_smoother(F, SQ, fm, fS,
+                                               scan_block_len=24)
+    np.testing.assert_allclose(np.asarray(sm_b), np.asarray(sm),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sS_b), np.asarray(sS),
+                               rtol=1e-10, atol=1e-10)
+
+
 def test_f32_long_record_stays_pd():
     """f32 + 2048 steps: the factor recursion keeps positive diagonals and
     tracks the f64 full-covariance result — the serving scenario that
