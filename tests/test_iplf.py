@@ -9,6 +9,7 @@ Correctness ladder:
 3. on the pendulum, iterations stay finite and smoothing beats filtering.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -196,11 +197,13 @@ def test_pendulum_iterated_smoother():
     assert rmse(res.sm_mean) <= 1.05 * rmse(sm_seq)
 
 
+@pytest.mark.slow
 def test_long_record_observer_init():
     """10k-step pendulum: the open-loop rollout init phase-drifts and the
     iteration diverges to RMSE ~390 (constant-gain observer: ~194); the
     default frozen-covariance-EKF observer init must stay in the right basin
-    (smoothed RMSE ~0.097, sequential RTS gives ~0.098)."""
+    (smoothed RMSE ~0.097, sequential RTS gives ~0.098).  Marked slow: the
+    drift-basin property genuinely needs the record length."""
     dyn, obs, x_true, y = _pendulum_setup(steps=10_000)
     tf = UnscentedTransform(2)
     res = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2)
@@ -276,8 +279,10 @@ class AngleMeasurement(MeasurementModel):
 def test_block_observer_matches_sequential_observer():
     """With a unimodal measurement the block-parallel observer init (depth
     block_len+warmup instead of N) must land in the same basin as the
-    sequential observer."""
-    dyn, _, x_true, _ = _pendulum_setup(steps=6000)
+    sequential observer.  (1500 steps across 3 blocks exercises the same
+    block-boundary/warmup logic the original 6000-step case did, at 1/4 the
+    cost — the property is per-block-boundary, not length-dependent.)"""
+    dyn, _, x_true, _ = _pendulum_setup(steps=1500)
     obs = AngleMeasurement.create(GaussRV.create(1, cov=0.1), dim_state=2)
     y = obs.simulate_measurements(jax.random.PRNGKey(5), x_true[:, :, None])[..., 0]
     tf = UnscentedTransform(2)
@@ -285,7 +290,7 @@ def test_block_observer_matches_sequential_observer():
                                        init="observer")
     r_blk = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2,
                                        init="block-observer",
-                                       block_len=2048, warmup=512)
+                                       block_len=512, warmup=128)
     np.testing.assert_allclose(np.asarray(r_blk.sm_mean),
                                np.asarray(r_seq.sm_mean), rtol=1e-4, atol=1e-4)
 
@@ -303,7 +308,9 @@ def test_iplf_with_bq_transform():
     posterior-linearization smoother — must stay finite and in the accuracy
     ballpark of the UT-based one."""
     from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
-    dyn, obs, x_true, y = _pendulum_setup(steps=200)
+    # 300 steps on purpose: shares the simulate + UT-smoother compiles with
+    # the other 300-step pendulum tests in this module
+    dyn, obs, x_true, y = _pendulum_setup(steps=300)
     tf_dyn = GaussianProcessTransform.create(2, 2, np.array([[1.0, 3.0, 3.0]]))
     tf_obs = GaussianProcessTransform.create(2, 1, np.array([[1.0, 3.0, 3.0]]))
     res = iterated_parallel_smoother(dyn, obs, tf_dyn, tf_obs, y, iterations=3)
@@ -340,7 +347,7 @@ def test_sqrt_mode_f32_pendulum():
     """The serving configuration: f32 square-root iteration on a nonlinear
     record stays finite, keeps every covariance PSD, and tracks the f64
     full-covariance result."""
-    dyn, obs, x_true, y = _pendulum_setup(steps=500)
+    dyn, obs, x_true, y = _pendulum_setup(steps=300)
     tf = UnscentedTransform(2)
     res64 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3)
     res32 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3,

@@ -468,6 +468,37 @@ def test_marginal_inference_study_parity(goldens):
     assert rmse < 1.25 * ref_rmse, (rmse, ref_rmse)
 
 
+def test_marginal_bfgs_vs_newton_quantified(goldens):
+    """Quantified drift gate between ``MarginalInference.forward_pass`` (the
+    reference-faithful per-step scipy-BFGS Laplace) and
+    ``forward_pass_compiled`` (scan-Newton), on the golden UNGM scenario.
+
+    Pointwise late-step agreement is NOT a meaningful invariant: the per-step
+    parameter posterior is multimodal, the two optimizers settle in different
+    modes from step 2 on (measured per-step |Δmean| median ≈ 3.8 on a state
+    scale of ~21), and a single mode flip propagates.  The stable, testable
+    contract is: (a) tight agreement on step 1 (same prior, same unimodal
+    Laplace target) and (b) study-level accuracy agreement — both paths'
+    RMSE within 1.5 of each other and both within 1.25x the reference golden.
+    """
+    g = goldens["marginal_ungm"]
+    dyn, obs = _ungm_models()
+    f = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs, points="ut")
+    fm_b, _ = f.forward_pass(jnp.asarray(g["y"]))
+    f.reset()
+    fm_n, fP_n = f.forward_pass_compiled(jnp.asarray(g["y"]))
+    fm_b, fm_n = np.asarray(fm_b), np.asarray(fm_n)
+    assert np.isfinite(fm_n).all() and np.isfinite(np.asarray(fP_n)).all()
+    # (a) step-1: both approximate the same Laplace posterior from the prior
+    np.testing.assert_allclose(fm_n[:, :1], fm_b[:, :1], rtol=0.05, atol=0.05)
+    # (b) study level (measured: bfgs 10.83, newton 10.58, golden 12.49)
+    rmse_b = float(np.sqrt(np.mean((fm_b - g["x"]) ** 2)))
+    rmse_n = float(np.sqrt(np.mean((fm_n - g["x"]) ** 2)))
+    ref_rmse = float(g["rmse"][0])
+    assert abs(rmse_b - rmse_n) <= 1.5, (rmse_b, rmse_n)
+    assert rmse_n < 1.25 * ref_rmse, (rmse_n, ref_rmse)
+
+
 # ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------
