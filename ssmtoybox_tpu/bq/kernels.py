@@ -205,12 +205,17 @@ class RBFStudent(RBFGauss):
     Expectations are w.r.t. the standard Student density ``St(0, I, dof)`` and
     are approximated with batched MC.  Unlike the reference (global NumPy
     RNG), sampling is keyed and runs as a ``lax.scan`` of fused
-    sample->gram->reduce batches.  The BQ-weight paths (``exp_x_qRQ``,
+    sample->gram->reduce batches.  The RAW expectation paths (``exp_x_qRQ``,
     ``exp_xy_kxy``) route through the fused Pallas kernels in
     :mod:`ssmtoybox_tpu.ops.pallas_ops` by default (measured 98x/38x faster
     on one chip than the emulated-f64 scans); build with
     ``use_pallas=False`` for the differentiable jnp scan path (the Pallas
-    calls have no autodiff rule) or for bit-controlled f64 accumulation.
+    calls have no autodiff rule).  BQ WEIGHTS never go through the raw
+    expectations: ``bq_weights`` uses :meth:`projected_weight_stats`, whose
+    weight-space accumulation is immune to the ``1/lambda_min(K)^2`` error
+    amplification of the composed ``iK Q iK`` form (f32 — and even long
+    f64 matmul accumulations — inject unstructured noise that the
+    FUSION-2017 kernel parameters blow up into filter divergence).
     """
 
     supports_parameter_estimation = False
@@ -255,7 +260,7 @@ class RBFStudent(RBFGauss):
             return fold(xs, acc), None
 
         acc, _ = jax.lax.scan(body, init, keys)
-        return acc / (num_batches * batch_size)
+        return jax.tree_util.tree_map(lambda a: a / (num_batches * batch_size), acc)
 
     def exp_x_kx(self, par, x, scaling=False):
         num_pts = x.shape[-1]
@@ -297,13 +302,14 @@ class RBFStudent(RBFGauss):
         """Fused Pallas path: one sample stream, one Gram evaluation per
         chunk, three reductions — the separate ``exp_x_*`` calls each redraw
         the full sample budget and re-evaluate the Gram (the reference's
-        structure, ``bqkern.py:476-524``), making filter construction with
-        this kernel the single most expensive init path (SURVEY §3.3).  The
-        kernel emits per-chunk f32 partials reduced in f64 outside, so the
-        accumulated expectations stay at MC-noise accuracy even for the
-        ill-conditioned long-lengthscale weight solves (see pallas_ops).  With
-        ``use_pallas=False`` falls back to the differentiable scan
-        composition."""
+        structure, ``bqkern.py:476-524``).  The kernel emits per-chunk f32
+        partials reduced in f64 outside, keeping the RAW expectations at
+        MC-noise accuracy (validated on hardware, tools/validate_pallas.py).
+        NOTE: raw expectations are not weight-grade on ill-conditioned
+        parameters — ``bq_weights`` goes through
+        :meth:`projected_weight_stats` instead, which tolerates arbitrary
+        ``lambda_min(K)``.  With ``use_pallas=False`` falls back to the
+        differentiable scan composition."""
         if not self.use_pallas:
             return super().exp_x_qRQ(par, x)
         from ..ops.pallas_ops import student_expectations
@@ -311,6 +317,51 @@ class RBFStudent(RBFGauss):
                                        num_samples=self.num_samples,
                                        key=jax.random.PRNGKey(self.seed))
         return q, R, Q
+
+    def projected_weight_stats(self, par, x, iK):
+        """Monte-Carlo BQ weight statistics accumulated in WEIGHT space.
+
+        The naive composition — estimate ``Q = E[k(x) k(x)^T]`` first, then
+        form ``Wc = iK Q iK`` — is numerically doomed for the ill-conditioned
+        Gram matrices the FUSION-2017 Student studies use (lengthscales >>
+        point spread give ``lambda_min(K) ~ 1e-7``, so ``iK (.) iK``
+        amplifies error by ``~1e16``): a true per-sample kernel vector
+        ``k_s`` is kernel-structured (its components along K's small
+        eigendirections are genuinely ~1e-14), but ANY unstructured noise in
+        the accumulated Q — even the ~1e-11 sequential-summation rounding of
+        an otherwise exact f64 2e6-sample matmul accumulation — explodes into
+        O(100) Wc errors and 100% filter divergence.
+
+        Projecting FIRST fixes it exactly: with ``g_s = iK k_s`` (bounded,
+        because ``k_s`` is kernel-structured),
+
+        * ``wm  = E[g]``            (``== q iK``)
+        * ``Wc  = E[g g^T]``        (``== iK Q iK``)
+        * ``Wcc = E[x g^T]``        (``== R iK``)
+        * ``tr(Q iK) = E[k^T g]``   (for the expected model variance)
+
+        are the same integrals with NO amplified subtraction — the
+        accumulation error is relative to the weight magnitudes themselves.
+        The raw ``q`` and ``Q`` are accumulated alongside (one stream, same
+        samples) for integral variance and the stored-weights pytree.
+
+        Returns ``(q, wm, Wc, Wcc, tr_QiK, Q)``.
+        """
+        dim, num_pts = x.shape
+        zt = x.dtype
+
+        def fold(xs, acc):
+            k = self.eval(par, xs, x, scaling=False)      # (B, N)
+            g = k @ iK                                    # (B, N) — bounded
+            q, wm, Wc, Wcc, tr, Q = acc
+            return (q + jnp.sum(k, axis=0), wm + jnp.sum(g, axis=0),
+                    Wc + g.T @ g, Wcc + xs @ g,
+                    tr + jnp.sum(k * g), Q + k.T @ k)
+
+        init = (jnp.zeros((num_pts,), zt), jnp.zeros((num_pts,), zt),
+                jnp.zeros((num_pts, num_pts), zt), jnp.zeros((dim, num_pts), zt),
+                jnp.zeros((), zt), jnp.zeros((num_pts, num_pts), zt))
+        return self._mc_scan(fold, init)
 
     def exp_xy_kxy(self, par):
         """``E[k(x, y)]`` over independent Student draws: all off-diagonal

@@ -165,11 +165,28 @@ class GaussianProcessModel(Model):
                    str_pts=point_str, estimate_par=estimate_par)
 
     def bq_weights(self, par=None, *args) -> BQWeights:
-        """Core BQ weight formulas (``bqmod.py:495-523``)."""
+        """Core BQ weight formulas (``bqmod.py:495-523``).
+
+        MC-expectation kernels (rbf-student) go through the kernel's
+        projected-weight-space accumulator instead of the ``iK Q iK``
+        composition: the same integrals, but immune to the ``1/lambda_min^2``
+        error amplification that makes the composed form diverge on the
+        ill-conditioned FUSION-2017 kernel parameters (see
+        ``RBFStudent.projected_weight_stats``)."""
         par = self.kernel.get_parameters(par)
         x = self.points
 
         iK = self.kernel.eval_inv_dot(par, x, scaling=False)
+        if hasattr(self.kernel, "projected_weight_stats"):
+            q, w_m, Wc, w_cc_t, tr_QiK, Q = \
+                self.kernel.projected_weight_stats(par, x, iK)
+            w_c = symmetrize(Wc)
+            w_cc = w_cc_t
+            model_var = self.kernel.exp_x_kxx(par) * (1.0 - tr_QiK)
+            integral_var = self.kernel.exp_xy_kxy(par) - q @ w_m
+            return BQWeights(wm=w_m, Wc=w_c, Wcc=w_cc, model_var=model_var,
+                             integral_var=integral_var, q=q, Q=Q, iK=iK)
+
         q, R, Q = self.kernel.exp_x_qRQ(par, x)
 
         w_m = q @ iK
@@ -195,19 +212,28 @@ class GaussianProcessModel(Model):
     def exp_model_variance(self, par=None, *args):
         """``s^2 (1 - tr(Q K^-1))`` (``bqmod.py:525-528``).
 
-        Routed through the kernel's combined ``exp_x_qRQ`` so MC-weighted
-        kernels (rbf-student) hit the fused path instead of a separate
-        multi-million-sample sweep."""
+        MC-weighted kernels (rbf-student) accumulate ``tr(Q iK) = E[k^T iK k]``
+        in projected form (see ``bq_weights``) — the composed
+        ``trace(Q @ iK)`` picks up iK-amplified accumulation noise on
+        ill-conditioned parameters."""
         par = self.kernel.get_parameters(par)
         iK = self.kernel.eval_inv_dot(par, self.points)
+        if hasattr(self.kernel, "projected_weight_stats"):
+            _, _, _, _, tr_QiK, _ = \
+                self.kernel.projected_weight_stats(par, self.points, iK)
+            return self.kernel.exp_x_kxx(par) * (1.0 - tr_QiK)
         _, _, Q = self.kernel.exp_x_qRQ(par, self.points)
         return self.kernel.exp_x_kxx(par) * (1.0 - jnp.trace(Q @ iK))
 
     def integral_variance(self, par=None, *args):
         """``E[kxy] - q^T K^-1 q`` (``bqmod.py:530-535``)."""
         par = self.kernel.get_parameters(par)
-        q, _, _ = self.kernel.exp_x_qRQ(par, self.points)
         iK = self.kernel.eval_inv_dot(par, self.points, scaling=False)
+        if hasattr(self.kernel, "projected_weight_stats"):
+            q, wm, _, _, _, _ = \
+                self.kernel.projected_weight_stats(par, self.points, iK)
+            return self.kernel.exp_xy_kxy(par) - q @ wm
+        q, _, _ = self.kernel.exp_x_qRQ(par, self.points)
         return self.kernel.exp_xy_kxy(par) - q @ iK @ q
 
     def neg_log_marginal_likelihood(self, log_par, fcn_obs, x_obs, jitter):

@@ -152,12 +152,9 @@ class StudentTProcessTransform(BQTransform):
         # Reference parity: the point-set dof (``point_par['dof']``, from the
         # noise RVs, ``ssinf.py:823-829``) shapes only the FS sigma-points —
         # it never reaches the kernel, whose Student weighting density is
-        # always St(0, I, 4) (``bqkern.py:463``, ``bqmod.py:421``).  Threading
-        # the point dof into the kernel changes the q/R/Q expectations at the
-        # 1e-4 level, which the ill-conditioned iK (long lengthscales) blows
-        # up into O(1) weight errors and non-PSD Wc — measured as 64-100%
-        # divergence on the FUSION-2017 CV glint study.  Override explicitly
-        # with ``mc_opts={'dof': ...}`` if a different density is wanted.
+        # always St(0, I, 4) (``bqkern.py:463``, ``bqmod.py:421``).  Override
+        # explicitly with ``mc_opts={'dof': ...}`` if a different weighting
+        # density is wanted.
         model_nu = 4.0 if compat_drop_nu else nu
         model = StudentTProcessModel.create(dim_in, kern_par, kern_str, point_str,
                                             point_par, estimate_par, nu=model_nu,

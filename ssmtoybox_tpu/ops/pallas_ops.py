@@ -27,13 +27,18 @@ run in f32 with f64 in/out casts.  That is exact for ``vandermonde`` on
 sigma-point-scale inputs.  The Student MC kernels emit PER-CHUNK f32 partial
 sums that are reduced in f64 outside the kernel: per-chunk rounding averages
 out across chunks, whereas in-kernel f32 accumulation would quantize the
-final expectations at ~1e-7 relative — uncorrelated noise that ill-
-conditioned BQ weight solves (long lengthscales, lambda_min(K) ~ 1e-7)
-amplify into O(1) weight errors where correlated f64 MC noise cancels.  Off-TPU the same kernels run in interpret mode; the
-Student kernels are NOT differentiable (no pallas autodiff rule) — callers
-needing ``jax.grad`` through rbf-student expectations build the kernel with
-``RBFStudent.create(..., use_pallas=False)`` to get the differentiable jnp
-scan path.
+final expectations at ~1e-7 relative.  This keeps the RAW expectations at
+Monte-Carlo-noise accuracy (validated on hardware by
+tools/validate_pallas.py) — but raw expectations of ANY precision are not
+weight-grade on ill-conditioned kernel parameters, where the BQ weight
+solve amplifies unstructured error by ``1/lambda_min(K)^2`` (~1e16 on the
+FUSION-2017 Student-study parameters).  The weight path therefore never
+composes ``iK Q iK`` from these outputs; it accumulates directly in weight
+space (``RBFStudent.projected_weight_stats``).  Off-TPU the same kernels
+run in interpret mode; the Student kernels are NOT differentiable (no
+pallas autodiff rule) — callers needing ``jax.grad`` through rbf-student
+expectations build the kernel with ``RBFStudent.create(...,
+use_pallas=False)`` to get the differentiable jnp scan path.
 """
 from __future__ import annotations
 

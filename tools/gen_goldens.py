@@ -526,12 +526,40 @@ def scenario_j():
     print("marginal_ungm.npz done")
 
 
+def scenario_k():
+    """Scenario K: TPQ weights on the FUSION-2017 CV-glint kernel parameters
+    (``research/tpq/tpq_constant_velocity.py:62-68``).  These parameters are
+    deliberately ill-conditioned (lengthscales >> unit-point spread,
+    ``lambda_min(K) ~ 1e-7``) — the regression this golden guards is weight-
+    space Monte-Carlo accumulation vs the iK-amplified composed form.  MC
+    streams differ between reference and build, so tolerances in the test are
+    the reference's own seed-to-seed spread (measured: wm 8e-4, Wc 0.06)."""
+    from ssmtoybox.bq.bqmtran import StudentTProcessTransform
+
+    data = {}
+    for tag, par in (("dyn", np.array([[0.05, 100., 100., 100., 100.]])),
+                     ("obs", np.array([[0.005, 10., 100., 10., 100.]]))):
+        np.random.seed(0)
+        t = StudentTProcessTransform(4, 1, par, 'rbf-student', 'fs',
+                                     {'dof': 4.0}, nu=4.0)
+        data[f"{tag}_par"] = par
+        data[f"{tag}_wm"] = t.wm
+        data[f"{tag}_Wc"] = t.Wc
+        data[f"{tag}_Wcc"] = t.Wcc
+        data[f"{tag}_emv"] = np.atleast_1d(t.model.model_var)
+    np.savez(os.path.join(OUT, "tpq_cv_weights.npz"), **data)
+    print("tpq_cv_weights.npz done")
+
+
 if __name__ == "__main__":
     if sys.argv[1:] == ["h3"]:
         scenario_h3()
     elif sys.argv[1:] == ["j"]:
         scenario_j()
+    elif sys.argv[1:] == ["k"]:
+        scenario_k()
     else:
         main()
         scenario_h3()
         scenario_j()
+        scenario_k()
