@@ -184,6 +184,131 @@ def test_mesh_and_metric_guards(setup):
         mc_metrics_sharded(jnp.moveaxis(x, -1, 0), bank_like, mesh)
 
 
+def test_multihost_virtual_topology(setup):
+    """SURVEY §5.8 / DCN shape: a (2 hosts x 4 devices) virtual topology —
+    host-major dp blocks, fb within a host — produces moments identical to
+    the unsharded run, and rejects fb slices that would straddle hosts."""
+    from ssmtoybox_tpu.parallel import make_multihost_mesh, shard_mc_local
+    dyn, obs, x, y = setup
+    mesh = make_multihost_mesh(process_shape=(2, 4))
+    assert mesh.shape == {"dp": 8, "fb": 1}
+    # host-major layout: first 4 dp rows are host-0 devices, in order
+    devs = np.asarray(mesh.devices).ravel()
+    assert [d.id for d in devs[:4]] == [d.id for d in jax.devices()[:4]]
+
+    ukf = st.UnscentedKalman(dyn, obs)
+    batch = shard_mc_local(jnp.moveaxis(y, -1, 0), mesh)   # single-process: degenerates
+    out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, batch, mesh)
+    local = ukf.forward_pass_batch(jnp.moveaxis(y, -1, 0))
+    np.testing.assert_allclose(np.asarray(out.fi_mean), np.asarray(local.fi_mean),
+                               rtol=1e-10, atol=1e-10)
+    m = mc_metrics_sharded(jnp.moveaxis(x, -1, 0), out, mesh)
+    assert np.isfinite(float(m))
+
+    # fb=2 within 4-device hosts is fine; fb=8 would straddle hosts
+    assert make_multihost_mesh(fb=2, process_shape=(2, 4)).shape == {"dp": 4, "fb": 2}
+    with pytest.raises(ValueError, match="straddling"):
+        make_multihost_mesh(fb=8, process_shape=(2, 4))
+    with pytest.raises(ValueError, match="tile"):
+        make_multihost_mesh(process_shape=(3, 3))
+
+
+def test_presharded_batch_consumed_as_is(setup):
+    """A batch that is already a global array sharded over this mesh's dp
+    axis (the multi-host ingestion path) is consumed without a repad —
+    host-side padding would touch non-addressable shards in a real
+    multi-process run.  (A NON-divisible pre-sharded batch cannot even be
+    constructed — jax rejects the sharding at device_put/assembly time — so
+    the library's divisibility guard is defense-in-depth only.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ssmtoybox_tpu.parallel import make_multihost_mesh
+    dyn, obs, x, y = setup
+    mesh = make_multihost_mesh(process_shape=(2, 4))
+    ukf = st.UnscentedKalman(dyn, obs)
+    pre = jax.device_put(jnp.moveaxis(y, -1, 0),
+                         NamedSharding(mesh, P("dp", None, None)))
+    out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, pre, mesh)
+    local = ukf.forward_pass_batch(jnp.moveaxis(y, -1, 0))
+    np.testing.assert_allclose(np.asarray(out.fi_mean), np.asarray(local.fi_mean),
+                               rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_cluster(tmp_path):
+    """The real thing: a 2-process jax.distributed CPU cluster (4 devices
+    each), global (dp=8, fb=1) mesh, per-process data via shard_mc_local —
+    the globally-sharded filter metric must match the single-process value."""
+    import subprocess, sys, os
+    script = r"""
+import os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 4)
+except AttributeError:
+    pass
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=proc_id)
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
+import ssmtoybox_tpu as st
+from ssmtoybox_tpu.parallel import (make_multihost_mesh, shard_mc_local,
+                                    filter_mc_sharded, mc_metrics_sharded)
+from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
+from ssmtoybox_tpu.utils import GaussRV
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
+obs = UNGMMeasurement.create(GaussRV.create(1), dim_state=1)
+x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=40, mc_sims=16)
+y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+batch = np.moveaxis(np.asarray(y), -1, 0)        # (16, 1, 40), same on both procs
+mesh = make_multihost_mesh()
+assert mesh.shape == {"dp": 8, "fb": 1}
+local_rows = batch[proc_id * 8:(proc_id + 1) * 8]
+gbatch = shard_mc_local(local_rows, mesh)
+assert gbatch.shape[0] == 16
+ukf = st.UnscentedKalman(dyn, obs)
+out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs, gbatch, mesh)
+xt = shard_mc_local(np.moveaxis(np.asarray(x), -1, 0)[proc_id * 8:(proc_id + 1) * 8], mesh)
+m = float(mc_metrics_sharded(xt, out, mesh))
+print(f"METRIC {m:.12f}", flush=True)
+"""
+    sp = str(tmp_path / "worker.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    port = "12765"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen([sys.executable, sp, str(i), port],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    metrics = [float(l.split()[1]) for o in outs for l in o.splitlines()
+               if l.startswith("METRIC")]
+    assert len(metrics) == 2
+    np.testing.assert_allclose(metrics[0], metrics[1], rtol=1e-12)
+
+    # single-process ground truth on the default mesh
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1), dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=40, mc_sims=16)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+    ukf = st.UnscentedKalman(dyn, obs)
+    mesh = make_mesh(dp=8)
+    out = filter_mc_sharded(dyn, obs, ukf.tf_dyn, ukf.tf_obs,
+                            jnp.moveaxis(y, -1, 0), mesh)
+    ref = float(mc_metrics_sharded(jnp.moveaxis(x, -1, 0), out, mesh))
+    np.testing.assert_allclose(metrics[0], ref, rtol=1e-10)
+
+
 def test_study_scores_isolate_diverged_runs():
     """Regression: one diverged MC run must not poison the NCI/INC of the
     healthy runs through the shared sample-MSE normalizer."""
