@@ -321,6 +321,58 @@ def small_mm3(a: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return small_matmul(small_matmul(a, w), b)
 
 
+#: Largest row dimension routed through the unrolled Householder ``tria``.
+#: Wider than :data:`SMALL_DIM_MAX`: QR emits O(D^2) reflector applications
+#: (vs Cholesky's O(D^2) scalar recurrences but with an O(M) reduction each),
+#: and the payoff against XLA's emulated-f64 ``Qr`` stays large through the
+#: 2D-row combines of the time-parallel square-root scans (D=5 -> 10 rows).
+TRIA_SMALL_DIM_MAX = 12
+
+
+def _tria_small(cols: jax.Array) -> jax.Array:
+    """Unrolled batched Householder QR for :func:`tria` at small static D.
+
+    Motivation (same economics as :func:`chol_small`, measured on TPU, f64,
+    10k-batch reentry): XLA's generic ``Qr`` has no f64 TPU kernel and the
+    emulated path made the square-root filter 8.5x SLOWER than full
+    covariance (docs/performance.md r1).  D Householder reflectors over the
+    (M, D) transposed block, fully unrolled at trace time, are pure
+    elementwise/reduction ops over the batch — MXU/VPU-eligible, no
+    emulation.  Backward-stable like any Householder QR, so the 1e-10
+    SR-vs-full-covariance parity is preserved; rank-deficient inputs (zero
+    columns from :func:`_tria_pad` padding) get an identity reflector via the
+    ``vnorm2 > 0`` guard instead of 0/0 NaNs.
+    """
+    d, m = cols.shape[-2], cols.shape[-1]
+    # columns of cols^T (the (M, D) matrix being factored), each (..., M)
+    a = [cols[..., i, :] for i in range(d)]
+    for j in range(d):
+        x = a[j][..., j:]                                   # (..., M-j)
+        sigma = jnp.sum(x * x, axis=-1)
+        normx = jnp.sqrt(sigma)
+        x0 = x[..., 0]
+        sgn = jnp.where(x0 >= 0, 1.0, -1.0).astype(cols.dtype)
+        alpha = -sgn * normx                                # post-reflection pivot
+        v0 = x0 + sgn * normx                               # no cancellation
+        v = x.at[..., 0].set(v0)
+        vnorm2 = sigma + jnp.abs(x0) * normx                # = ||v||^2 / 2
+        safe = vnorm2 > 0
+        beta = jnp.where(safe, 1.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
+        for k in range(j, d):
+            t = a[k][..., j:]
+            proj = beta * jnp.sum(v * t, axis=-1)
+            a[k] = a[k].at[..., j:].set(t - proj[..., None] * v)
+        # pin the pivot exactly (the reflection leaves round-off below it)
+        a[j] = a[j].at[..., j].set(alpha)
+    # R[i, j] = a[j][..., i] (upper, i <= j); emit L = R^T with positive diag
+    pos = [jnp.where(a[i][..., i] >= 0, 1.0, -1.0).astype(cols.dtype)
+           for i in range(d)]
+    zero = jnp.zeros_like(a[0][..., 0])
+    rows = [jnp.stack([pos[j] * a[i][..., j] if j <= i else zero
+                       for j in range(d)], axis=-1) for i in range(d)]
+    return jnp.stack(rows, axis=-2)
+
+
 def tria(cols: jax.Array) -> jax.Array:
     """Lower-triangular factor of ``cols @ cols^T`` via QR of ``cols^T``.
 
@@ -328,7 +380,13 @@ def tria(cols: jax.Array) -> jax.Array:
     diagonal.  The square-root filters' workhorse: one fused batched QR
     replaces forming a covariance and refactorizing it — and never squares
     the conditioning, which is the point of the square-root form in f32.
+
+    Small static D (the filters' regime) routes through the unrolled
+    Householder kernel :func:`_tria_small` — XLA's generic ``Qr`` runs in
+    emulated f64 on TPU and was the whole cost of the SR-f64 path.
     """
+    if cols.shape[-2] <= TRIA_SMALL_DIM_MAX:
+        return _tria_small(cols)
     r = jnp.linalg.qr(jnp.swapaxes(cols, -1, -2), mode="r")
     sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
     sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)

@@ -47,6 +47,46 @@ class TestSmallKernels:
         got = np.asarray(tri_solve_small(jnp.asarray(U), jnp.asarray(B), lower=False))
         np.testing.assert_allclose(U @ got, B, atol=1e-12)
 
+    def test_tria_small_matches_generic_qr(self):
+        """The unrolled Householder ``tria`` fast path (the SR filters' hot
+        op on the TPU f64 path) must agree with the generic QR route to
+        machine precision, including ill-conditioned scalings, and produce a
+        finite factor on rank-deficient zero-padded inputs."""
+        from ssmtoybox_tpu.utils.linalg import _tria_small, tria, TRIA_SMALL_DIM_MAX
+
+        def generic(cols):
+            r = jnp.linalg.qr(jnp.swapaxes(cols, -1, -2), mode="r")
+            sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+            sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)
+            return jnp.swapaxes(r * sgn[..., :, None], -1, -2)
+
+        rng = np.random.default_rng(3)
+        for d, m in [(1, 1), (2, 3), (5, 16), (9, 21), (12, 24)]:
+            assert d <= TRIA_SMALL_DIM_MAX
+            cols = jnp.asarray(rng.normal(size=(6, d, m)))
+            np.testing.assert_allclose(np.asarray(_tria_small(cols)),
+                                       np.asarray(generic(cols)), atol=1e-13)
+            # the public entry point dispatches to the unrolled path here
+            np.testing.assert_allclose(np.asarray(tria(cols)),
+                                       np.asarray(_tria_small(cols)), atol=0)
+        # reentry-like dynamic range (1e-3 .. 1e2 factor scales)
+        sc = jnp.asarray(np.diag([1e-3, 1e2, 1e-3, 1e2, 1e-1]))
+        cols = sc @ jnp.asarray(rng.normal(size=(5, 16)))
+        a, b = _tria_small(cols[None]), generic(cols[None])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-15)
+        # rank-deficient: zero rows/columns from _tria_pad-style padding
+        cols = jnp.zeros((1, 5, 8)).at[0, :3, :3].set(
+            jnp.asarray(rng.normal(size=(3, 3))))
+        a = _tria_small(cols)
+        assert bool(jnp.all(jnp.isfinite(a)))
+        np.testing.assert_allclose(
+            np.asarray(a @ jnp.swapaxes(a, -1, -2)),
+            np.asarray(cols @ jnp.swapaxes(cols, -1, -2)), atol=1e-14)
+        # differentiable (the SR paths sit under jax.grad in fitting loops)
+        g = jax.grad(lambda c: jnp.sum(_tria_small(c)))(
+            jnp.asarray(rng.normal(size=(4, 6))))
+        assert bool(jnp.all(jnp.isfinite(g)))
+
 
 @pytest.fixture(scope="module")
 def ungm():

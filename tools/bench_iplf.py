@@ -61,12 +61,15 @@ def main():
             return res.fi_mean, sm
 
         use_sqrt = "--sqrt" in sys.argv
+        block = next((int(a.split("=", 1)[1]) for a in sys.argv
+                      if a.startswith("--block=")), None)
 
         @jax.jit
         def par(data):
             r = iterated_parallel_smoother(dyn, obs, tf, tf, data, iterations=2,
                                            sqrt=use_sqrt, dtype=dtype,
-                                           chol_jitter=0.0 if f64 else 1e-7)
+                                           chol_jitter=0.0 if f64 else 1e-7,
+                                           scan_block_len=block)
             return r.fi_mean, r.sm_mean
 
         sync(seq(y)); sync(par(y))                      # compile
