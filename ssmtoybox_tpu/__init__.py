@@ -35,6 +35,7 @@ from .ssinf import (
     FullySymmetricStudent, StudentProcessStudent, ExtendedStudent, GPQStudent,
     IteratedPosteriorLinearizationKalman,
     gaussian_filter, gaussian_smoother, gaussian_filter_batch, studentian_filter,
+    studentian_smoother,
     iterated_gaussian_filter, slr_affine,
 )
 
@@ -48,6 +49,7 @@ __all__ = [
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
     "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
+    "studentian_smoother",
     "IteratedPosteriorLinearizationKalman", "iterated_gaussian_filter", "slr_affine",
     "SquareRootKalman", "make_sqrt_filter", "make_sqrt_smoother", "SqrtFilterResult",
 ]

@@ -53,7 +53,7 @@ from .mtran import (
 __all__ = [
     "FilterResult", "StudentFilterResult",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch",
-    "studentian_filter",
+    "studentian_filter", "studentian_smoother",
     "slr_affine", "iterated_gaussian_filter",
     "StateSpaceInference", "GaussianInference", "StudentianInference",
     "IteratedPosteriorLinearizationKalman",
@@ -85,10 +85,18 @@ class FilterResult(struct.PyTreeNode):
 
 
 class StudentFilterResult(struct.PyTreeNode):
+    """Stacked Student forward-pass moments plus the predictive scale-matrix
+    moments consumed by :func:`studentian_smoother` (the reference stores no
+    predictive quantities because its Student smoother is unimplemented,
+    ``ssinf.py:738-740``)."""
+
     fi_mean: jax.Array
     fi_cov: jax.Array
     fi_smat: jax.Array
     dof_fi: jax.Array
+    pr_mean: jax.Array
+    pr_smat: jax.Array
+    pr_xx_smat: jax.Array
 
 
 def _gaussian_time_update(mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, time,
@@ -387,6 +395,10 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         if mod_dyn.noise_additive:
             x_cov_pr = x_cov_pr + GQGt
             x_smat_pr = x_smat_pr + GSGt
+        # cross scale matrix cov(x_{k-1}, x_k^pr) for the RTS backward pass,
+        # trimmed to the state block (correct dim_state trim — no reference
+        # counterpart to be quirk-faithful to, its smoother is unimplemented)
+        xx_smat = scale * xx_cov[:, :mod_dyn.dim_state]
 
         if mod_obs.noise_additive:
             mean, sm = x_mean_pr, x_smat_pr
@@ -413,17 +425,76 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         x_smat_fi = scale_fi * x_cov_fi
         dof_next = dof_fi + mod_obs.dim_out
 
-        return (x_mean_fi, x_smat_fi, dof_next), (x_mean_fi, x_cov_fi, x_smat_fi, dof_next)
+        return ((x_mean_fi, x_smat_fi, dof_next),
+                (x_mean_fi, x_cov_fi, x_smat_fi, dof_next,
+                 x_mean_pr, x_smat_pr, xx_smat))
 
     ks = jnp.arange(1, n_steps + 1)
     init = (x0_mean, x_smat_0, jnp.asarray(x0_dof, dtype=x0_mean.dtype))
-    _, (fi_m, fi_P, fi_S, dofs) = jax.lax.scan(step, init, (data.T, ks))
+    _, (fi_m, fi_P, fi_S, dofs, pr_m, pr_S, pr_xx) = jax.lax.scan(
+        step, init, (data.T, ks))
     return StudentFilterResult(
         fi_mean=jnp.moveaxis(fi_m, 0, -1),
         fi_cov=jnp.moveaxis(fi_P, 0, -1),
         fi_smat=jnp.moveaxis(fi_S, 0, -1),
         dof_fi=dofs,
+        pr_mean=jnp.moveaxis(pr_m, 0, -1),
+        pr_smat=jnp.moveaxis(pr_S, 0, -1),
+        pr_xx_smat=jnp.moveaxis(pr_xx, 0, -1),
     )
+
+
+def studentian_smoother(result: StudentFilterResult, rts_full: bool = False):
+    """Student-t RTS backward pass on SCALE matrices (beyond-parity feature:
+    the reference leaves its Student smoother unimplemented,
+    ``ssinf.py:738-740``).
+
+    The RTS recursion applies to the scale matrices unchanged (Piché, Särkkä
+    & Hartikainen 2012, "Recursive outlier-robust filtering and smoothing for
+    nonlinear systems using the multivariate Student-t distribution"): with
+    the filtered scale ``S_fi``, predictive scale ``S_pr`` and cross scale
+    ``S_xx`` from the forward pass,
+
+        G    = S_xx^T S_pr^{-1}
+        m_sm = m_fi + G (m_sm_next - m_pr_next)
+        S_sm = S_fi + G (S_sm_next - S_pr_next) G^T
+
+    — identical algebra to :func:`_smoothing_update`, just fed scale-matrix
+    moments.  Returns ``(sm_mean, sm_smat)``; the MOMENT covariance of the
+    smoothed Student marginal is ``dof/(dof - 2) * sm_smat`` with the
+    terminal ``result.dof_fi[-1]`` (every smoothed marginal conditions on
+    all N measurements).  ``rts_full`` selects the same two index layouts as
+    :func:`gaussian_smoother` so Student and Gaussian smoothers are
+    drop-in comparable.
+    """
+    fi_m = jnp.moveaxis(result.fi_mean, -1, 0)     # (N, D)
+    fi_S = jnp.moveaxis(result.fi_smat, -1, 0)     # (N, D, D)
+    pr_m = jnp.moveaxis(result.pr_mean, -1, 0)
+    pr_S = jnp.moveaxis(result.pr_smat, -1, 0)
+    pr_xx = jnp.moveaxis(result.pr_xx_smat, -1, 0)
+    n = fi_m.shape[0]
+
+    def step(carry, inp):
+        m_next, S_next = carry
+        m_fi, S_fi, m_pr_next, S_pr_next, xx_next = inp
+        m_sm, S_sm = _smoothing_update(m_fi, S_fi, m_next, S_next,
+                                       m_pr_next, S_pr_next, xx_next)
+        return (m_sm, S_sm), (m_sm, S_sm)
+
+    if rts_full:
+        xs = (fi_m[:-1], fi_S[:-1], pr_m[1:], pr_S[1:], pr_xx[1:])
+        init = (fi_m[-1], fi_S[-1])
+        _, (sm_m, sm_S) = jax.lax.scan(step, init, xs, reverse=True)
+        sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
+        sm_S = jnp.concatenate([sm_S, fi_S[-1:]], axis=0)
+    else:
+        xs = (fi_m[:n - 2], fi_S[:n - 2], pr_m[1:n - 1], pr_S[1:n - 1], pr_xx[1:n - 1])
+        init = (fi_m[-1], fi_S[-1])
+        _, (sm_m, sm_S) = jax.lax.scan(step, init, xs, reverse=True)
+        sm_m = jnp.concatenate([sm_m, fi_m[n - 2:]], axis=0)
+        sm_S = jnp.concatenate([sm_S, fi_S[n - 2:]], axis=0)
+
+    return jnp.moveaxis(sm_m, 0, -1), jnp.moveaxis(sm_S, 0, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +617,11 @@ def _jit_studentian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, d
     )(data_batch)
 
 
+@functools.partial(jax.jit, static_argnames=("rts_full",))
+def _jit_studentian_smoother(result, rts_full):
+    return studentian_smoother(result, rts_full=rts_full)
+
+
 class GaussianInference(StateSpaceInference):
     """Gaussian filter/smoother wrapper (``ssinf.py:215-344``)."""
 
@@ -605,7 +681,11 @@ class StudentianInference(StateSpaceInference):
     """Studentian filter wrapper (``ssinf.py:555-740``).
 
     The reference leaves the Student smoother unimplemented
-    (``ssinf.py:738-740``); ``backward_pass`` raises accordingly.
+    (``ssinf.py:738-740``); here ``backward_pass`` runs the scale-matrix RTS
+    recursion of :func:`studentian_smoother` (beyond-parity feature).
+    ``sm_cov`` holds the smoothed SCALE matrices — mirroring the forward
+    pass's own scale-matrix bookkeeping; multiply by ``dof/(dof - 2)`` with
+    the terminal ``dof_fi[-1]`` for moment covariances.
     """
 
     def __init__(self, mod_dyn, mod_obs, tf_dyn, tf_obs, dof=4.0, fixed_dof=True):
@@ -625,7 +705,7 @@ class StudentianInference(StateSpaceInference):
                                             self.dof, self.fixed_dof)
 
     def _run_backward(self, result, rts_full):
-        raise NotImplementedError("Student smoother is not implemented (parity with ssinf.py:738-740)")
+        return _jit_studentian_smoother(result, rts_full)
 
 
 # ---------------------------------------------------------------------------

@@ -186,8 +186,56 @@ class TestFilters:
             alg = st.FullySymmetricStudent(dyn, obs, degree=deg, dof=4.0)
             fm, fP = alg.forward_pass(y)
             assert bool(jnp.isfinite(fm).all()), f"FSQ degree {deg}"
-        with pytest.raises(NotImplementedError):
-            alg.backward_pass()
+
+    def test_student_smoother(self):
+        """Scale-matrix RTS smoother for Studentian filters (beyond-parity:
+        the reference's Student smoother is unimplemented).  Properties:
+        smoothed trajectory beats the filtered one on RMSE, smoothed scale
+        shrinks vs filtered in the interior, terminal element keeps the
+        filtered value under rts_full=True, and the recursion degrades to
+        the Gaussian RTS smoother in the large-dof limit."""
+        from ssmtoybox_tpu.utils.metrics import rmse
+        dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                    StudentRV.create(1, scale=10.0, dof=4.0))
+        obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=60, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(3), x)[..., 0]
+        alg = st.FullySymmetricStudent(dyn, obs, degree=3, dof=4.0)
+        fm, fP = alg.forward_pass(y)
+        sm, sS = alg.backward_pass(rts_full=True)
+        assert bool(jnp.isfinite(sm).all()) and bool(jnp.isfinite(sS).all())
+        assert float(rmse(x[..., 0], sm)) < float(rmse(x[..., 0], fm))
+        np.testing.assert_allclose(sm[:, -1], fm[:, -1], rtol=1e-12)
+        # smoothed scale no larger than filtered in the interior (1-D: scalar)
+        fS = alg._result.fi_smat
+        assert float(jnp.mean(sS[0, 0, 5:-5] - fS[0, 0, 5:-5])) < 0.0
+        # default (reference-style) indexing keeps the last two filtered values
+        sm2, _ = alg.backward_pass(rts_full=False)
+        np.testing.assert_allclose(sm2[:, -2:], fm[:, -2:], rtol=1e-12)
+
+        # large-dof limit: Student RTS -> Gaussian RTS on a Gaussian system
+        dyn_g = UNGMTransition.create(GaussRV.create(1, cov=1.0),
+                                      GaussRV.create(1, cov=10.0))
+        obs_g = UNGMMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
+        xg = dyn_g.simulate_discrete(jax.random.PRNGKey(4), steps=40, mc_sims=1)
+        yg = obs_g.simulate_measurements(jax.random.PRNGKey(5), xg)[..., 0]
+        big = 1e6
+        dyn_t = UNGMTransition.create(StudentRV.create(1, dof=big),
+                                      StudentRV.create(1, scale=10.0, dof=big))
+        obs_t = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=big),
+                                       dim_state=1)
+        # same FS quadrature on both sides so only the recursion differs
+        from ssmtoybox_tpu.mtran import FullySymmetricStudentTransform
+        from ssmtoybox_tpu.ssinf import GaussianInference
+        tf = FullySymmetricStudentTransform(1, 3, None, big)
+        gauss = GaussianInference(dyn_g, obs_g, tf, tf)
+        gauss.forward_pass(yg)
+        sm_g, _ = gauss.backward_pass(rts_full=True)
+        fsq = st.FullySymmetricStudent(dyn_t, obs_t, degree=3, dof=big)
+        fsq.forward_pass(yg)
+        sm_t, _ = fsq.backward_pass(rts_full=True)
+        np.testing.assert_allclose(np.asarray(sm_t), np.asarray(sm_g),
+                                   rtol=1e-3, atol=1e-3)
 
     def test_marginal_inference_runs(self, ungm):
         """Marginalized-GPQ filter (per-step Laplace + SR quadrature,
