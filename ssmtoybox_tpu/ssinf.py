@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax.scipy.linalg import block_diag, cho_factor, cho_solve
 
-from .utils.linalg import (chol_small, pd_solve_small, _solve_tri_small,
+from .utils.linalg import (chol_small, pd_solve_small, tri_solve_small,
                            small_matmul, small_mm3, symmetrize)
 
 from .mtran import (
@@ -420,7 +420,7 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         # NOTE: scale-derived matrix stored as covariance — reference FIXME
         x_cov_fi = x_smat_pr - small_mm3(gain, y_smat_pr, gain.T)
 
-        delta = _solve_tri_small(chol_small(y_smat_pr), y - y_mean_pr, lower=True)
+        delta = tri_solve_small(chol_small(y_smat_pr), y - y_mean_pr, lower=True)
         scale_fi = (dof + delta @ delta) / (dof + mod_obs.dim_out)
         x_smat_fi = scale_fi * x_cov_fi
         dof_next = dof_fi + mod_obs.dim_out

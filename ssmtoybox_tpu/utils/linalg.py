@@ -33,11 +33,48 @@ __all__ = [
     "small_matmul",
     "small_mm3",
     "tria",
+    "set_small_linalg_mode",
 ]
 
 #: Default diagonal jitter used to stabilize Gram-matrix inversions
 #: (mirrors the reference kernel jitter, ``ssmtoybox/bq/bqkern.py:29-35``).
 DEFAULT_JITTER = 1e-8
+
+#: Small-linalg dispatch mode: ``"auto"`` routes through the unrolled
+#: elementwise kernels only on TPU backends (where they exist to dodge the
+#: emulated-f64 Cholesky/QR/TriangularSolve paths and tiny-matmul overhead)
+#: and through XLA's generic ops elsewhere — on CPU the generic ops are
+#: single LAPACK custom-calls, so the unrolled graphs are pure XLA-compile
+#: cost with no runtime benefit (a full test-suite run is compile-bound).
+#: ``"unrolled"`` / ``"generic"`` force one path; settable via the
+#: ``SSMTPU_SMALL_LINALG`` environment variable or :func:`set_small_linalg_mode`.
+import os as _os
+
+_SMALL_LINALG_MODE = _os.environ.get("SSMTPU_SMALL_LINALG", "auto")
+
+
+def set_small_linalg_mode(mode: str) -> None:
+    """Select the small-linalg dispatch: 'auto' | 'unrolled' | 'generic'.
+
+    Takes effect at trace time; call before the first jit of a filter (or
+    clear jax caches) to retrace through the other path.
+    """
+    global _SMALL_LINALG_MODE
+    if mode not in ("auto", "unrolled", "generic"):
+        raise ValueError(f"unknown small-linalg mode {mode!r}; "
+                         "expected 'auto', 'unrolled' or 'generic'")
+    _SMALL_LINALG_MODE = mode
+
+
+def _unrolled(d: int, limit: int) -> bool:
+    """True when dimension ``d`` should take the unrolled elementwise path."""
+    if d > limit:
+        return False
+    if _SMALL_LINALG_MODE == "unrolled":
+        return True
+    if _SMALL_LINALG_MODE == "generic":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def maha(x: jax.Array, y: jax.Array, V: jax.Array | None = None) -> jax.Array:
@@ -135,11 +172,12 @@ def chol_small(a: jax.Array) -> jax.Array:
     is the filters' per-step hot op (SURVEY §7: "per-step Cholesky of small
     matrices dominates UNGM-scale problems; batch them via vmap").
 
-    Falls back to ``jnp.linalg.cholesky`` above :data:`SMALL_DIM_MAX`.
+    Falls back to ``jnp.linalg.cholesky`` above :data:`SMALL_DIM_MAX` and on
+    non-TPU backends (same factor either way; see :func:`set_small_linalg_mode`).
     Differentiable and vmappable like any jnp expression.
     """
     d = a.shape[-1]
-    if d > SMALL_DIM_MAX:
+    if not _unrolled(d, SMALL_DIM_MAX):
         return jnp.linalg.cholesky(a)
     col = [[None] * d for _ in range(d)]
     for i in range(d):
@@ -224,8 +262,15 @@ def tri_solve_small(L: jax.Array, b: jax.Array, lower: bool = True) -> jax.Array
 
     ``b`` is (..., D) or (..., D, K).  Same motivation as :func:`chol_small`:
     substitution as D(D+1)/2 elementwise ops beats XLA's generic (and on TPU
-    f64, unavailable) TriangularSolve for the filter-sized systems.
+    f64, unavailable) TriangularSolve for the filter-sized systems.  On
+    non-TPU backends this is a single TriangularSolve custom call instead.
     """
+    if not _unrolled(L.shape[-1], SMALL_DIM_MAX):
+        from jax.scipy.linalg import solve_triangular
+        vec = b.ndim == L.ndim - 1
+        rhs = b[..., None] if vec else b
+        out = solve_triangular(L, rhs, lower=lower)
+        return out[..., 0] if vec else out
     return _solve_tri_small(L, b, lower)
 
 
@@ -264,15 +309,13 @@ def cholupdate_small(L: jax.Array, v: jax.Array, w) -> jax.Array:
 
 
 def cho_solve_small(L: jax.Array, b: jax.Array) -> jax.Array:
-    """``(L L^T)^-1 b`` via unrolled forward+backward substitution."""
-    y = _solve_tri_small(L, b, lower=True)
-    return _solve_tri_small(jnp.swapaxes(L, -1, -2), y, lower=False)
+    """``(L L^T)^-1 b`` via forward+backward substitution (dispatching)."""
+    y = tri_solve_small(L, b, lower=True)
+    return tri_solve_small(jnp.swapaxes(L, -1, -2), y, lower=False)
 
 
 def pd_solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Small-dim PD solve through the unrolled Cholesky path."""
-    if A.shape[-1] > SMALL_DIM_MAX:
-        return pd_solve(A, b)
+    """Small-dim PD solve through the (dispatching) Cholesky path."""
     return cho_solve_small(chol_small(A), b)
 
 
@@ -295,8 +338,6 @@ def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     where real matmuls win again.
     """
     k_dim = a.shape[-1]
-    if k_dim > UNROLL_MATMUL_MAX:
-        return a @ b
     # matrix-vector iff b is (..., K) with batch dims matching a's AND its
     # last dim equal to the contraction dim — without the K check, a batched
     # a of shape (B, M, K) against an unbatched (K, J) matrix with B == K
@@ -305,6 +346,8 @@ def small_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     # every internal caller batches both operands together.)
     is_vec = ((b.ndim == 1 or (b.ndim == a.ndim - 1 and b.shape[:-1] == a.shape[:-2]))
               and b.shape[-1] == k_dim)
+    if not _unrolled(k_dim, UNROLL_MATMUL_MAX):
+        return (a @ b[..., None])[..., 0] if (is_vec and b.ndim > 1) else a @ b
     if is_vec:
         out = a[..., :, 0] * b[..., 0, None]
         for k in range(1, k_dim):
@@ -382,10 +425,11 @@ def tria(cols: jax.Array) -> jax.Array:
     the conditioning, which is the point of the square-root form in f32.
 
     Small static D (the filters' regime) routes through the unrolled
-    Householder kernel :func:`_tria_small` — XLA's generic ``Qr`` runs in
-    emulated f64 on TPU and was the whole cost of the SR-f64 path.
+    Householder kernel :func:`_tria_small` on TPU — XLA's generic ``Qr`` runs
+    in emulated f64 there and was the whole cost of the SR-f64 path.  On CPU
+    the generic ``Qr`` is one LAPACK call and wins on compile time.
     """
-    if cols.shape[-2] <= TRIA_SMALL_DIM_MAX:
+    if _unrolled(cols.shape[-2], TRIA_SMALL_DIM_MAX):
         return _tria_small(cols)
     r = jnp.linalg.qr(jnp.swapaxes(cols, -1, -2), mode="r")
     sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))

@@ -22,7 +22,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+    _flags += " --xla_force_host_platform_device_count=8"
+if "xla_backend_optimization_level" not in _flags:
+    # the suite is XLA-compile-bound on 1-core CI hosts (the framework's
+    # unrolled small-linalg graphs are big); backend optimization level 0
+    # cuts compile ~30% and reproduces the default-level numerics to 1e-14
+    # on the heaviest program (the time-parallel iterated smoother)
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -58,6 +65,25 @@ def _clear_jax_caches_between_modules():
     between modules keeps per-process compiled-code footprint bounded.
     """
     yield
+    jax.clear_caches()
+
+
+@pytest.fixture
+def unrolled_linalg():
+    """Force the unrolled small-linalg kernels for a test.
+
+    The suite runs on CPU, where the 'auto' dispatch routes chol/tria/solve
+    through LAPACK custom calls; the unrolled elementwise kernels (the TPU
+    f64 hot path) would otherwise go untested here.  Caches are cleared on
+    both sides because the dispatch mode is read at trace time and is not
+    part of jit cache keys.
+    """
+    from ssmtoybox_tpu.utils import linalg
+    prev = linalg._SMALL_LINALG_MODE
+    linalg.set_small_linalg_mode("unrolled")
+    jax.clear_caches()
+    yield
+    linalg.set_small_linalg_mode(prev)
     jax.clear_caches()
 
 

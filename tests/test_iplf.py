@@ -75,22 +75,19 @@ def _seq_affine_smoother(Fs, bs, Qs, fm, fP):
     return np.stack(out_m[::-1]), np.stack(out_P[::-1])
 
 
-def test_affine_filter_matches_sequential():
+def test_affine_filter_and_smoother_match_sequential():
+    """Filter and smoother checked in ONE pass over the same 40-step model:
+    a second model length would recompile the whole scan pipeline for a
+    property already covered (suite runs on a 1-core CPU host; XLA compiles
+    dominate, so every distinct program shape counts)."""
     rng = np.random.default_rng(0)
     Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys = _random_affine_model(rng, n=40, d=3, e=2)
     fm_ref, fP_ref = _seq_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys)
+    sm_ref, sP_ref = _seq_affine_smoother(Fs, bs, Qs, fm_ref, fP_ref)
     fm, fP = parallel_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys.T)
     np.testing.assert_allclose(np.asarray(fm).T, fm_ref, rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(np.moveaxis(np.asarray(fP), -1, 0), fP_ref,
                                rtol=1e-8, atol=1e-8)
-
-
-def test_affine_smoother_matches_sequential():
-    rng = np.random.default_rng(1)
-    Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys = _random_affine_model(rng, n=32, d=3, e=2)
-    fm_ref, fP_ref = _seq_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys)
-    sm_ref, sP_ref = _seq_affine_smoother(Fs, bs, Qs, fm_ref, fP_ref)
-    fm, fP = parallel_affine_filter(Fs, bs, Qs, Hs, cs, Rs, m0, P0, ys.T)
     sm, sP = parallel_affine_smoother(Fs, bs, Qs, fm, fP)
     np.testing.assert_allclose(np.asarray(sm).T, sm_ref, rtol=1e-7, atol=1e-7)
     np.testing.assert_allclose(np.moveaxis(np.asarray(sP), -1, 0), sP_ref,
@@ -133,27 +130,25 @@ def test_slr_recovers_linear_model():
     np.testing.assert_allclose(np.asarray(Om), 0.0, atol=1e-8)
 
 
-def test_one_iteration_matches_sequential_on_linear_model():
+def test_linear_model_matches_sequential_and_is_fixed_point():
+    """On an exactly linear model SLR recovers the model, so ONE iteration
+    must equal the sequential UKF/RTS and further iterations must be a fixed
+    point.  One test, one r1 run — the former two tests each recomputed r1,
+    and on the 1-core CPU host every distinct program compile counts."""
     dyn, obs, y = _linear_setup()
     ukf = st.UnscentedKalman(dyn, obs)
     fm_seq, fP_seq = ukf.forward_pass(y)
     sm_seq, sP_seq = ukf.backward_pass(rts_full=True)
-    res = iterated_parallel_smoother(dyn, obs, UnscentedTransform(4),
-                                     UnscentedTransform(4), y, iterations=1)
-    np.testing.assert_allclose(np.asarray(res.fi_mean), np.asarray(fm_seq),
-                               rtol=1e-7, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(res.fi_cov), np.asarray(fP_seq),
-                               rtol=1e-7, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(res.sm_mean), np.asarray(sm_seq),
-                               rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(res.sm_cov), np.asarray(sP_seq),
-                               rtol=1e-6, atol=1e-6)
-
-
-def test_iterations_are_a_fixed_point_on_linear_model():
-    dyn, obs, y = _linear_setup()
     tf = UnscentedTransform(4)
     r1 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=1)
+    np.testing.assert_allclose(np.asarray(r1.fi_mean), np.asarray(fm_seq),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.fi_cov), np.asarray(fP_seq),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.sm_mean), np.asarray(sm_seq),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.sm_cov), np.asarray(sP_seq),
+                               rtol=1e-6, atol=1e-6)
     r5 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=5)
     np.testing.assert_allclose(np.asarray(r5.sm_mean), np.asarray(r1.sm_mean),
                                rtol=1e-8, atol=1e-8)
@@ -165,7 +160,7 @@ def test_iterations_are_a_fixed_point_on_linear_model():
 # nonlinear model: pendulum
 # ---------------------------------------------------------------------------
 
-def _pendulum_setup(steps=300):
+def _pendulum_setup(steps=160):
     dt = 0.01
     Q = 0.1 * np.array([[dt ** 3 / 3, dt ** 2 / 2], [dt ** 2 / 2, dt]])
     dyn = Pendulum2DTransition.create(
@@ -177,14 +172,25 @@ def _pendulum_setup(steps=300):
     return dyn, obs, x[..., 0], y
 
 
-def test_pendulum_iterated_smoother():
-    """Long pendulum record: the multimodal ``sin`` measurement traps the
-    prior-pinned linearization on a wrong branch (RMSE ~7 vs ~0.08); the
-    default rollout init must land the iteration in the right basin and
-    match the sequential UKF/RTS accuracy."""
+@pytest.fixture(scope="module")
+def pendulum_ut_ipls():
+    """Shared 160-step pendulum scenario + the UT-based IPLS(3) result.
+
+    Three tests consume the identical UT run (accuracy vs sequential, BQ
+    comparison baseline, f32-sqrt comparison baseline); computing it once
+    avoids re-executing the most expensive compile in the module."""
     dyn, obs, x_true, y = _pendulum_setup()
     tf = UnscentedTransform(2)
-    res = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=4)
+    res = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3)
+    return dyn, obs, x_true, y, res
+
+
+def test_pendulum_iterated_smoother(pendulum_ut_ipls):
+    """Pendulum record: the multimodal ``sin`` measurement traps the
+    prior-pinned linearization on a wrong branch (RMSE ~7 vs ~0.08); the
+    default observer init must land the iteration in the right basin and
+    match the sequential UKF/RTS accuracy."""
+    dyn, obs, x_true, y, res = pendulum_ut_ipls
     assert bool(jnp.isfinite(res.sm_mean).all())
     assert bool(jnp.isfinite(res.sm_cov).all())
 
@@ -257,10 +263,10 @@ def test_nonadditive_ungm_runs():
     dyn = UNGMNATransition.create(GaussRV.create(1, mean=1.0, cov=1.0),
                                   GaussRV.create(1, cov=10.0))
     obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
-    x = dyn.simulate_discrete(jax.random.PRNGKey(9), steps=100, mc_sims=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(9), steps=48, mc_sims=1)
     y = obs.simulate_measurements(jax.random.PRNGKey(10), x)[..., 0]
     res = iterated_parallel_smoother(dyn, obs, UnscentedTransform(2),
-                                     UnscentedTransform(2), y, iterations=4)
+                                     UnscentedTransform(2), y, iterations=2)
     assert bool(jnp.isfinite(res.sm_mean).all())
     assert bool(jnp.isfinite(res.sm_cov).all())
 
@@ -302,21 +308,17 @@ def test_invalid_init_raises():
         iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=1, init="bogus")
 
 
-def test_iplf_with_bq_transform():
+def test_iplf_with_bq_transform(pendulum_ut_ipls):
     """SLR through a BQ (GPQ) transform: the affine residual Omega then
     includes the expected-model-variance term, giving a Bayesian-quadrature
     posterior-linearization smoother — must stay finite and in the accuracy
-    ballpark of the UT-based one."""
+    ballpark of the UT-based one (shared fixture baseline)."""
     from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
-    # 300 steps on purpose: shares the simulate + UT-smoother compiles with
-    # the other 300-step pendulum tests in this module
-    dyn, obs, x_true, y = _pendulum_setup(steps=300)
+    dyn, obs, x_true, y, res_ut = pendulum_ut_ipls
     tf_dyn = GaussianProcessTransform.create(2, 2, np.array([[1.0, 3.0, 3.0]]))
     tf_obs = GaussianProcessTransform.create(2, 1, np.array([[1.0, 3.0, 3.0]]))
     res = iterated_parallel_smoother(dyn, obs, tf_dyn, tf_obs, y, iterations=3)
     assert bool(jnp.isfinite(res.sm_mean).all())
-    tf = UnscentedTransform(2)
-    res_ut = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3)
     rmse = lambda m: float(jnp.sqrt(jnp.mean((m - x_true) ** 2)))
     # untuned GPQ lengthscales + expected-model-variance inflation cost
     # accuracy (measured 0.229 vs 0.098) but must stay in the same ballpark
@@ -343,13 +345,12 @@ def test_sqrt_mode_matches_full_cov_on_linear_model():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_sqrt_mode_f32_pendulum():
+def test_sqrt_mode_f32_pendulum(pendulum_ut_ipls):
     """The serving configuration: f32 square-root iteration on a nonlinear
     record stays finite, keeps every covariance PSD, and tracks the f64
-    full-covariance result."""
-    dyn, obs, x_true, y = _pendulum_setup(steps=300)
+    full-covariance result (shared fixture baseline)."""
+    dyn, obs, x_true, y, res64 = pendulum_ut_ipls
     tf = UnscentedTransform(2)
-    res64 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3)
     res32 = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=3,
                                        sqrt=True, dtype=jnp.float32,
                                        chol_jitter=1e-7)
@@ -364,14 +365,14 @@ def test_sqrt_mode_f32_pendulum():
 
 
 def test_iterated_smoother_jits_and_vmaps():
-    dyn, obs, _, y = _pendulum_setup(steps=64)
+    dyn, obs, _, y = _pendulum_setup(steps=32)
     tf = UnscentedTransform(2)
     run = jax.jit(lambda data: iterated_parallel_smoother(dyn, obs, tf, tf,
-                                                          data, iterations=4))
+                                                          data, iterations=2))
     res = run(jnp.asarray(y))
-    assert res.sm_mean.shape == (2, 64)
-    batch = jnp.stack([jnp.asarray(y)] * 3)
+    assert res.sm_mean.shape == (2, 32)
+    batch = jnp.stack([jnp.asarray(y)] * 2)
     bres = jax.vmap(lambda d: iterated_parallel_smoother(dyn, obs, tf, tf, d,
                                                          iterations=2))(batch)
-    assert bres.sm_mean.shape == (3, 2, 64)
+    assert bres.sm_mean.shape == (2, 2, 32)
     assert bool(jnp.isfinite(bres.sm_mean).all())

@@ -125,7 +125,7 @@ def test_transforms_jit_and_vmap():
     np.testing.assert_allclose(out[0], tf.apply(f, means[0], covs[0], None)[0], rtol=1e-12)
 
 
-def test_contraction_path_consistency():
+def test_contraction_path_consistency(unrolled_linalg):
     """small_matmul vs @ vs einsum agree to f64 round-off.
 
     Mirrors the reference's dot-vs-einsum consistency study
@@ -146,7 +146,7 @@ def test_contraction_path_consistency():
     np.testing.assert_allclose(small_matmul(a, v), a @ v, rtol=1e-12, atol=1e-12)
 
 
-def test_chol_small_grad():
+def test_chol_small_grad(unrolled_linalg):
     """Unrolled Cholesky is differentiable (needed by NLML training paths)."""
     from ssmtoybox_tpu.utils.linalg import chol_small
     A = jnp.asarray(np.array([[2.0, 0.5], [0.5, 1.5]]))
@@ -158,7 +158,7 @@ def test_chol_small_grad():
 
 
 @pytest.mark.parametrize("d", [1, 2, 3, 5, 8, 9])
-def test_chol_small_matches_lapack_across_dims(d):
+def test_chol_small_matches_lapack_across_dims(d, unrolled_linalg):
     """Unrolled Cholesky/substitution vs LAPACK over random PD batches."""
     from ssmtoybox_tpu.utils.linalg import chol_small, cho_solve_small
     from jax.scipy.linalg import cho_solve

@@ -37,7 +37,7 @@ class TestSmallKernels:
         want = np.linalg.cholesky(P + 0.5 * v[:, :, None] * v[:, None, :])
         np.testing.assert_allclose(got, want, atol=1e-12)
 
-    def test_tri_solve_small(self):
+    def test_tri_solve_small(self, unrolled_linalg):
         rng = np.random.default_rng(2)
         L = np.tril(rng.normal(size=(4, 4))) + 4 * np.eye(4)
         B = rng.normal(size=(4, 2))
@@ -47,7 +47,7 @@ class TestSmallKernels:
         got = np.asarray(tri_solve_small(jnp.asarray(U), jnp.asarray(B), lower=False))
         np.testing.assert_allclose(U @ got, B, atol=1e-12)
 
-    def test_tria_small_matches_generic_qr(self):
+    def test_tria_small_matches_generic_qr(self, unrolled_linalg):
         """The unrolled Householder ``tria`` fast path (the SR filters' hot
         op on the TPU f64 path) must agree with the generic QR route to
         machine precision, including ill-conditioned scalings, and produce a
@@ -295,7 +295,7 @@ class TestSqrtValidation:
 
 
 class TestReviewRegressions:
-    def test_small_matmul_unbatched_square_right_with_matching_batch(self):
+    def test_small_matmul_unbatched_square_right_with_matching_batch(self, unrolled_linalg):
         """Regression: a batched (B, M, K) left against an unbatched (K, J)
         right with B == K used to be misread as B vectors, producing
         clamped-index garbage of the wrong shape."""

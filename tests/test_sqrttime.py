@@ -155,10 +155,14 @@ def test_blocked_scan_matches_unchunked():
 
 
 def test_f32_long_record_stays_pd():
-    """f32 + 2048 steps: the factor recursion keeps positive diagonals and
+    """f32 + 512 steps: the factor recursion keeps positive diagonals and
     tracks the f64 full-covariance result — the serving scenario that
-    motivates the square-root form."""
-    dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=2048)
+    motivates the square-root form.  (512 rather than the bench's 100k+:
+    f32 full-covariance CV filters lose PD within ~300 steps, so the
+    property is already discriminating here, and the three extra
+    associative-scan levels a longer record adds dominate this module's
+    XLA compile time on 1-core CI hosts.)"""
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=512)
     SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
     to32 = lambda a: jnp.asarray(a, jnp.float32)
     fm32, fS32 = parallel_linear_sqrt_filter(
