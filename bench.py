@@ -252,6 +252,30 @@ def baseline_numpy(y_ungm, y_reentry):
     return t_base_ungm + t_base_re + t_base_ungm
 
 
+def _probe_backend(timeout_s: int = 120) -> None:
+    """Fail fast if the TPU backend hangs instead of initializing.
+
+    When this image's axon TPU tunnel is down, jax backend init BLOCKS
+    indefinitely (observed: >9 min at load ~0) rather than erroring; probe
+    device discovery in a disposable subprocess so a dead tunnel turns into
+    a loud rc=2 instead of an eternal hang of the whole bench run.
+    """
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend(), len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"FATAL: jax backend init did not complete within {timeout_s}s "
+            "— TPU tunnel down? (jax.devices() hangs)")
+        sys.exit(2)
+    if out.returncode != 0:
+        log("FATAL: jax backend init failed:", out.stderr.strip()[-2000:])
+        sys.exit(2)
+    log("backend probe:", out.stdout.strip())
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -260,6 +284,7 @@ def main():
     global MC_RUNS
     if args.mc:
         MC_RUNS = args.mc
+    _probe_backend()
     t_tpu, y_np, y_re_np = tpu_run()
     try:
         if os.path.isdir("/root/reference"):

@@ -207,10 +207,15 @@ class RBFStudent(RBFGauss):
     RNG), sampling is keyed and runs as a ``lax.scan`` of fused
     sample->gram->reduce batches.  The RAW expectation paths (``exp_x_qRQ``,
     ``exp_xy_kxy``) route through the fused Pallas kernels in
-    :mod:`ssmtoybox_tpu.ops.pallas_ops` by default (measured 98x/38x faster
-    on one chip than the emulated-f64 scans); build with
-    ``use_pallas=False`` for the differentiable jnp scan path (the Pallas
-    calls have no autodiff rule).  BQ WEIGHTS never go through the raw
+    :mod:`ssmtoybox_tpu.ops.pallas_ops` when a TPU backend is active
+    (measured 98x/38x faster on one chip than the emulated-f64 scans;
+    elsewhere Pallas would run in its interpreter — orders of magnitude
+    slower than the jnp scan, so ``use_pallas=True`` only *permits* the
+    kernels and the backend decides at trace time).  Build with
+    ``use_pallas=False`` for the differentiable jnp scan path everywhere
+    (the Pallas calls have no autodiff rule), or ``use_pallas='force'`` to
+    run the Pallas kernels in interpret mode off-TPU (kernel-logic tests).
+    BQ WEIGHTS never go through the raw
     expectations: ``bq_weights`` uses :meth:`projected_weight_stats`, whose
     weight-space accumulation is immune to the ``1/lambda_min(K)^2`` error
     amplification of the composed ``iK Q iK`` form (f32 — and even long
@@ -226,15 +231,25 @@ class RBFStudent(RBFGauss):
     #: much faster (shorter scan) at identical sample count
     num_batches: int = struct.field(pytree_node=False, default=50)
     seed: int = struct.field(pytree_node=False, default=0)
-    use_pallas: bool = struct.field(pytree_node=False, default=True)
+    #: True = Pallas on TPU backends only; False = jnp scan everywhere;
+    #: 'force' = Pallas even off-TPU (interpret mode; tests only)
+    use_pallas: bool | str = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, dim, par, jitter=1e-8, dof=4.0, num_samples=int(2e6), num_batches=50,
                seed=0, dtype=None, use_pallas=True):
         par = jnp.atleast_2d(jnp.asarray(par, dtype=dtype))
+        if use_pallas not in (True, False, "force"):
+            raise ValueError(f"use_pallas={use_pallas!r}; expected True, False or 'force'")
         return cls(par=par, dim=dim, jitter=jitter, dof=float(dof),
                    num_samples=int(num_samples), num_batches=int(num_batches),
-                   seed=int(seed), use_pallas=bool(use_pallas))
+                   seed=int(seed), use_pallas=use_pallas)
+
+    def _pallas_on(self) -> bool:
+        """Trace-time dispatch: Pallas where it is real (TPU), or forced."""
+        if self.use_pallas == "force":
+            return True
+        return bool(self.use_pallas) and jax.default_backend() == "tpu"
 
     # -- shared MC machinery ----------------------------------------------------
     def _mc_scan(self, fold, init, num_batches=None):
@@ -308,9 +323,9 @@ class RBFStudent(RBFGauss):
         NOTE: raw expectations are not weight-grade on ill-conditioned
         parameters — ``bq_weights`` goes through
         :meth:`projected_weight_stats` instead, which tolerates arbitrary
-        ``lambda_min(K)``.  With ``use_pallas=False`` falls back to the
-        differentiable scan composition."""
-        if not self.use_pallas:
+        ``lambda_min(K)``.  Off-TPU (or with ``use_pallas=False``) falls
+        back to the differentiable scan composition."""
+        if not self._pallas_on():
             return super().exp_x_qRQ(par, x)
         from ..ops.pallas_ops import student_expectations
         q, R, Q = student_expectations(par, x, self.dof,
@@ -374,7 +389,7 @@ class RBFStudent(RBFGauss):
         """
         par_row = jnp.atleast_2d(jnp.asarray(par))
         scale2 = par_row[0, 0] ** 2
-        if self.use_pallas:
+        if self._pallas_on():
             from ..ops.pallas_ops import student_kxy
             return scale2 * student_kxy(par, self.dim, self.dof,
                                         num_samples=self.num_samples,

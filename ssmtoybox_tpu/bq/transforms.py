@@ -243,10 +243,13 @@ class MultiOutputStudentTProcessTransform(MultiOutputBQTransform):
 
     @classmethod
     def create(cls, dim_in, dim_out, kern_par, kern_str="rbf", point_str="ut",
-               point_par=None, estimate_par=False, nu=3.0, dtype=None):
-        kern_kwargs = {}
+               point_par=None, estimate_par=False, nu=3.0, dtype=None,
+               mc_opts=None):
+        # mc_opts (num_samples/num_batches/seed/dof) reach the rbf-student
+        # kernel's MC expectations, mirroring StudentTProcessTransform.create
+        kern_kwargs = dict(mc_opts or {})
         if kern_str == "rbf-student":
-            kern_kwargs["dof"] = dict(point_par or {}).get("dof", 4.0)
+            kern_kwargs.setdefault("dof", dict(point_par or {}).get("dof", 4.0))
         model = StudentTProcessMO.create(dim_in, dim_out, kern_par, kern_str, point_str,
                                          point_par, estimate_par, nu=nu, dtype=dtype,
                                          **kern_kwargs)

@@ -47,25 +47,53 @@ jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) >= 8, "tests require 8 virtual CPU devices"
 
+# Persistent (on-disk) compilation cache: the autouse module fixture below
+# drops in-memory executables to bound footprint (segfault mitigation), which
+# would otherwise force cross-module RECOMPILES of shared programs (UNGM
+# simulators, UKF passes, ...).  The disk cache turns those into cheap
+# deserializations — including within one cold CI run — and is keyed on the
+# optimized HLO + compile flags + jax version, so code changes can never hit
+# a stale entry.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_compilation_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+def _rss_gb() -> float:
+    """Current resident set size in GB (linux)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024 ** 2)
+    except OSError:
+        pass
+    return 0.0
+
+
+#: Clear jax caches only beyond this resident-set size.  History: one long
+#: pytest session accumulating hundreds of LARGE compiled programs (the old
+#: always-unrolled small-linalg graphs) segfaulted inside XLA's CPU
+#: ``backend_compile_and_load`` late in the run; unconditional per-module
+#: clearing fixed that but forces cross-module recompiles of shared programs
+#: (simulators, UKF passes).  With the off-TPU LAPACK dispatch the programs
+#: are ~10x smaller, so clearing is now needed only under real memory
+#: pressure — shared programs stay warm across modules otherwise (the
+#: persistent on-disk cache above softens the clears that do happen).
+_CLEAR_CACHES_ABOVE_GB = 16.0
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
-    """Release compiled executables after each test module.
-
-    One long pytest session accumulates hundreds of large compiled programs
-    (the framework's unrolled small-linalg graphs are big); on this backend
-    that eventually segfaults inside XLA's CPU ``backend_compile_and_load``
-    on a later compile (observed repeatedly on the LAST module of the full
-    run; any tail subset passes in a fresh process).  Dropping the caches
-    between modules keeps per-process compiled-code footprint bounded.
-    """
     yield
-    jax.clear_caches()
+    if _rss_gb() > _CLEAR_CACHES_ABOVE_GB:
+        jax.clear_caches()
 
 
 @pytest.fixture
@@ -74,17 +102,16 @@ def unrolled_linalg():
 
     The suite runs on CPU, where the 'auto' dispatch routes chol/tria/solve
     through LAPACK custom calls; the unrolled elementwise kernels (the TPU
-    f64 hot path) would otherwise go untested here.  Caches are cleared on
-    both sides because the dispatch mode is read at trace time and is not
-    part of jit cache keys.
+    f64 hot path) would otherwise go untested here.  The dispatch mode is
+    read at trace time and is NOT part of jit cache keys, so tests using
+    this fixture must exercise the kernels eagerly or through fresh traces
+    (all current users do) — never through a jit cached before the switch.
     """
     from ssmtoybox_tpu.utils import linalg
     prev = linalg._SMALL_LINALG_MODE
     linalg.set_small_linalg_mode("unrolled")
-    jax.clear_caches()
     yield
     linalg.set_small_linalg_mode(prev)
-    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

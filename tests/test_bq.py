@@ -283,7 +283,10 @@ class TestStudentKernel:
         x = jnp.asarray(np.array([[0.0, 1.0, -1.0]]))
         k_scan = RBFStudent.create(1, par, dof=10.0, num_samples=20_000,
                                    num_batches=10, use_pallas=False)
-        k_pal = RBFStudent.create(1, par, dof=10.0, num_samples=20_000)
+        # 'force' runs the Pallas kernels in interpret mode on this CPU host
+        # (plain True now defers to the backend and would pick the scan path)
+        k_pal = RBFStudent.create(1, par, dof=10.0, num_samples=20_000,
+                                  use_pallas="force")
         g = jax.grad(lambda p: jnp.sum(k_scan.exp_x_qRQ(p, x)[2])
                      + k_scan.exp_xy_kxy(p))(jnp.asarray(par[0]))
         assert bool(jnp.isfinite(g).all())

@@ -468,7 +468,9 @@ def test_marginal_inference_study_parity(goldens):
     assert rmse < 1.25 * ref_rmse, (rmse, ref_rmse)
 
 
-def test_tpq_cv_weight_parity(goldens):
+@pytest.mark.parametrize("tag", ["dyn",
+                                 pytest.param("obs", marks=pytest.mark.slow)])
+def test_tpq_cv_weight_parity(goldens, tag):
     """TPQ weights on the FUSION-2017 CV-glint kernel parameters
     (``research/tpq/tpq_constant_velocity.py:62-68``) vs the reference.
 
@@ -484,19 +486,21 @@ def test_tpq_cv_weight_parity(goldens):
     test speed, ~1.4x the noise — tolerances carry ~2x headroom on top)."""
     g = goldens["tpq_cv_weights"]
     from ssmtoybox_tpu.bq.transforms import StudentTProcessTransform
-    for tag in ("dyn", "obs"):
-        t = StudentTProcessTransform.create(
-            4, 1, g[f"{tag}_par"], "rbf-student", "fs", point_par={"dof": 4.0},
-            nu=4.0, mc_opts={"num_samples": 1_000_000})
-        np.testing.assert_allclose(np.asarray(t.wm), g[f"{tag}_wm"], atol=5e-3)
-        np.testing.assert_allclose(np.asarray(t.Wc), g[f"{tag}_Wc"], atol=0.5)
-        np.testing.assert_allclose(np.asarray(t.Wcc), g[f"{tag}_Wcc"], atol=0.25)
-        np.testing.assert_allclose(float(t.model_var), float(g[f"{tag}_emv"][0]),
-                                   rtol=0.3)
-        lam = np.linalg.eigvalsh(np.asarray(t.Wc))
-        lam_ref = np.linalg.eigvalsh(g[f"{tag}_Wc"])
-        # the broken composed form gave eigmax ~580 vs the reference's 2-6
-        assert lam[0] > -1e-10 and lam[-1] < 2.0 * lam_ref[-1], (lam, lam_ref)
+    # default profile checks the dyn parameters (the ones that triggered the
+    # regression); the obs row exercises the identical code path and runs in
+    # the slow/nightly profile
+    t = StudentTProcessTransform.create(
+        4, 1, g[f"{tag}_par"], "rbf-student", "fs", point_par={"dof": 4.0},
+        nu=4.0, mc_opts={"num_samples": 1_000_000})
+    np.testing.assert_allclose(np.asarray(t.wm), g[f"{tag}_wm"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t.Wc), g[f"{tag}_Wc"], atol=0.5)
+    np.testing.assert_allclose(np.asarray(t.Wcc), g[f"{tag}_Wcc"], atol=0.25)
+    np.testing.assert_allclose(float(t.model_var), float(g[f"{tag}_emv"][0]),
+                               rtol=0.3)
+    lam = np.linalg.eigvalsh(np.asarray(t.Wc))
+    lam_ref = np.linalg.eigvalsh(g[f"{tag}_Wc"])
+    # the broken composed form gave eigmax ~580 vs the reference's 2-6
+    assert lam[0] > -1e-10 and lam[-1] < 2.0 * lam_ref[-1], (lam, lam_ref)
 
 
 def test_marginal_bfgs_vs_newton_quantified(goldens):

@@ -74,7 +74,7 @@ def test_parallel_sqrt_smoother_matches_full_cov():
 
 def test_affine_time_varying_matches_full_cov():
     """Per-step coefficients (not just broadcast constants) agree too."""
-    dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=48)
+    dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=32)
     n = y.shape[-1]
     rng = np.random.default_rng(3)
     # mildly perturbed time-varying affine model around the CV baseline
@@ -156,28 +156,32 @@ def test_blocked_scan_matches_unchunked():
 
 def test_f32_long_record_stays_pd():
     """f32 + 512 steps: the factor recursion keeps positive diagonals and
-    tracks the f64 full-covariance result — the serving scenario that
-    motivates the square-root form.  (512 rather than the bench's 100k+:
-    f32 full-covariance CV filters lose PD within ~300 steps, so the
-    property is already discriminating here, and the three extra
-    associative-scan levels a longer record adds dominate this module's
-    XLA compile time on 1-core CI hosts.)"""
+    tracks the f64 result — the serving scenario that motivates the
+    square-root form.  (512 rather than the bench's 100k+: f32
+    full-covariance CV filters lose PD within ~300 steps, so the property
+    is already discriminating here.)  Compile economics on the 1-core CI
+    host: the f32 scans run BLOCKED (``scan_block_len=64`` — also the
+    production vmem-bounded mode) so the traced graph stays 64-step-sized,
+    and the f64 reference is the sequential UKF (an exact KF on this linear
+    model) whose rolled ``lax.scan`` compile is length-independent."""
     dyn, obs, x, y, F, Q, H, R, x0 = _setup(steps=512)
     SQ, SR, S0 = _sqrt_inputs(F, Q, H, R, x0)
     to32 = lambda a: jnp.asarray(a, jnp.float32)
     fm32, fS32 = parallel_linear_sqrt_filter(
-        to32(F), to32(SQ), to32(H), to32(SR), to32(x0.mean), to32(S0), to32(y))
+        to32(F), to32(SQ), to32(H), to32(SR), to32(x0.mean), to32(S0), to32(y),
+        scan_block_len=64)
     assert fm32.dtype == jnp.float32
     assert bool(jnp.isfinite(fm32).all())
     diag = jnp.diagonal(jnp.moveaxis(fS32, -1, 0), axis1=-2, axis2=-1)
     assert bool((diag > 0).all())
 
-    fm64, _ = parallel_linear_filter(F, Q, H, R, x0.mean, x0.cov, y)
+    fm64, _ = st.UnscentedKalman(dyn, obs).forward_pass(y)
     err = np.max(np.abs(np.asarray(fm32, np.float64) - np.asarray(fm64)))
     scale = np.max(np.abs(np.asarray(fm64)))
     assert err / scale < 1e-3
 
-    sm32, sS32 = parallel_linear_sqrt_smoother(to32(F), to32(SQ), fm32, fS32)
+    sm32, sS32 = parallel_linear_sqrt_smoother(to32(F), to32(SQ), fm32, fS32,
+                                               scan_block_len=64)
     assert bool(jnp.isfinite(sm32).all())
     sdiag = jnp.diagonal(jnp.moveaxis(sS32, -1, 0), axis1=-2, axis2=-1)
     assert bool((sdiag > 0).all())

@@ -154,7 +154,9 @@ class TestFilters:
         """Textbook RTS (rts_full=True) smooths every step and beats the
         filter on average."""
         dyn, obs = ungm
-        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=100, mc_sims=1)
+        # steps=30 matches the other UNGM-UKF tests so the simulate + forward
+        # programs are compile-cache hits on the 1-core CI host
+        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=30, mc_sims=1)
         y = obs.simulate_measurements(jax.random.PRNGKey(3), x)[..., 0]
         alg = st.UnscentedKalman(dyn, obs)
         fm, _ = alg.forward_pass(y)
@@ -198,7 +200,7 @@ class TestFilters:
         dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
                                     StudentRV.create(1, scale=10.0, dof=4.0))
         obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
-        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=60, mc_sims=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=30, mc_sims=1)
         y = obs.simulate_measurements(jax.random.PRNGKey(3), x)[..., 0]
         alg = st.FullySymmetricStudent(dyn, obs, degree=3, dof=4.0)
         fm, fP = alg.forward_pass(y)
@@ -217,7 +219,7 @@ class TestFilters:
         dyn_g = UNGMTransition.create(GaussRV.create(1, cov=1.0),
                                       GaussRV.create(1, cov=10.0))
         obs_g = UNGMMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1)
-        xg = dyn_g.simulate_discrete(jax.random.PRNGKey(4), steps=40, mc_sims=1)
+        xg = dyn_g.simulate_discrete(jax.random.PRNGKey(4), steps=30, mc_sims=1)
         yg = obs_g.simulate_measurements(jax.random.PRNGKey(5), xg)[..., 0]
         big = 1e6
         dyn_t = UNGMTransition.create(StudentRV.create(1, dof=big),
@@ -300,9 +302,11 @@ class TestMultiOutputFilters:
         from ssmtoybox_tpu.bq.transforms import MultiOutputStudentTProcessTransform
         from ssmtoybox_tpu.ssinf import StudentianInference
         t_dyn = MultiOutputStudentTProcessTransform.create(
-            1, 1, kpar, "rbf-student", "fs", {"dof": 4.0}, nu=4.0)
+            1, 1, kpar, "rbf-student", "fs", {"dof": 4.0}, nu=4.0,
+            mc_opts={"num_samples": 100_000})
         t_obs = MultiOutputStudentTProcessTransform.create(
-            1, 1, kpar, "rbf-student", "fs", {"dof": 4.0}, nu=4.0)
+            1, 1, kpar, "rbf-student", "fs", {"dof": 4.0}, nu=4.0,
+            mc_opts={"num_samples": 100_000})
         alg = StudentianInference(dyn, obs, t_dyn, t_obs, dof=4.0)
         fm, fP = alg.forward_pass(y)
         assert fm.shape == (1, 10)
@@ -403,7 +407,7 @@ class TestIteratedFilter:
         """iterations=1 linearizes about the predictive, which is EXACTLY the
         standard sigma-point measurement update."""
         dyn, obs = ungm
-        x = dyn.simulate_discrete(jax.random.PRNGKey(11), steps=40, mc_sims=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(11), steps=30, mc_sims=1)
         y = obs.simulate_measurements(jax.random.PRNGKey(12), x)[..., 0]
         ukf = st.UnscentedKalman(dyn, obs)
         fm, fP = ukf.forward_pass(y)

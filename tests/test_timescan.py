@@ -62,8 +62,8 @@ def test_parallel_smoother_matches_sequential():
 
 
 def test_parallel_filter_jits_and_scales():
-    _, _, _, y, F, Q, H, R, x0 = _setup(steps=256)
+    _, _, _, y, F, Q, H, R, x0 = _setup(steps=128)
     f = jax.jit(lambda data: parallel_linear_filter(F, Q, H, R, x0.mean, x0.cov, data))
     fm, fP = f(jnp.asarray(y))
-    assert fm.shape == (4, 256)
+    assert fm.shape == (4, 128)
     assert bool(jnp.isfinite(fm).all())
