@@ -209,13 +209,17 @@ class GaussianProcessModel(Model):
         var = jnp.squeeze(kxx - jnp.einsum("im,mn,in->i", kx, iK, kx))
         return mean, var
 
-    def exp_model_variance(self, par=None, *args):
+    def exp_model_variance(self, par=None, *args, weights: "BQWeights" = None):
         """``s^2 (1 - tr(Q K^-1))`` (``bqmod.py:525-528``).
 
         MC-weighted kernels (rbf-student) accumulate ``tr(Q iK) = E[k^T iK k]``
         in projected form (see ``bq_weights``) — the composed
         ``trace(Q @ iK)`` picks up iK-amplified accumulation noise on
-        ill-conditioned parameters."""
+        ill-conditioned parameters.  Pass a precomputed ``weights``
+        (:meth:`bq_weights` result) to avoid re-running that multi-million-
+        sample MC sweep just to re-derive one scalar it already holds."""
+        if weights is not None:
+            return weights.model_var
         par = self.kernel.get_parameters(par)
         iK = self.kernel.eval_inv_dot(par, self.points)
         if hasattr(self.kernel, "projected_weight_stats"):
@@ -225,8 +229,13 @@ class GaussianProcessModel(Model):
         _, _, Q = self.kernel.exp_x_qRQ(par, self.points)
         return self.kernel.exp_x_kxx(par) * (1.0 - jnp.trace(Q @ iK))
 
-    def integral_variance(self, par=None, *args):
-        """``E[kxy] - q^T K^-1 q`` (``bqmod.py:530-535``)."""
+    def integral_variance(self, par=None, *args, weights: "BQWeights" = None):
+        """``E[kxy] - q^T K^-1 q`` (``bqmod.py:530-535``).
+
+        ``weights`` short-circuits the MC sweep like in
+        :meth:`exp_model_variance`."""
+        if weights is not None:
+            return weights.integral_var
         par = self.kernel.get_parameters(par)
         iK = self.kernel.eval_inv_dot(par, self.points, scaling=False)
         if hasattr(self.kernel, "projected_weight_stats"):
@@ -568,11 +577,14 @@ class StudentTProcessModel(GaussianProcessModel):
         scale = self.tp_scale(iK, fe)
         return jnp.squeeze(scale * gp_emv) if fe.shape[0] == 1 else scale * gp_emv
 
-    def integral_variance(self, par=None, fcn_obs=None):
-        """(``bqmod.py:1162-1189``)"""
+    def integral_variance(self, par=None, fcn_obs=None, iK=None, gp_ivar=None):
+        """(``bqmod.py:1162-1189``); ``iK``/``gp_ivar`` precomputable like
+        :meth:`exp_model_variance`'s fast path."""
         par = self.kernel.get_parameters(par)
-        iK = self.kernel.eval_inv_dot(par, self.points, scaling=False)
-        gp_ivar = super().integral_variance(par)
+        if iK is None:
+            iK = self.kernel.eval_inv_dot(par, self.points, scaling=False)
+        if gp_ivar is None:
+            gp_ivar = super().integral_variance(par)
         fo = jnp.asarray(fcn_obs).reshape(-1)
         scale = (self.nu - 2.0 + fo @ iK @ fo) / (self.nu - 2.0 + self.num_pts)
         return scale * gp_ivar

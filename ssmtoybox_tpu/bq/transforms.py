@@ -247,9 +247,11 @@ class MultiOutputStudentTProcessTransform(MultiOutputBQTransform):
                mc_opts=None):
         # mc_opts (num_samples/num_batches/seed/dof) reach the rbf-student
         # kernel's MC expectations, mirroring StudentTProcessTransform.create
+        # — including the parity rule that the point-set dof (point_par)
+        # shapes only the FS sigma-points, never the kernel's Student
+        # weighting density (St(0, I, 4) unless mc_opts overrides it;
+        # reference ``bqkern.py:463``, ``bqmod.py:421``)
         kern_kwargs = dict(mc_opts or {})
-        if kern_str == "rbf-student":
-            kern_kwargs.setdefault("dof", dict(point_par or {}).get("dof", 4.0))
         model = StudentTProcessMO.create(dim_in, dim_out, kern_par, kern_str, point_str,
                                          point_par, estimate_par, nu=nu, dtype=dtype,
                                          **kern_kwargs)

@@ -50,20 +50,31 @@ DEFAULT_JITTER = 1e-8
 #: ``SSMTPU_SMALL_LINALG`` environment variable or :func:`set_small_linalg_mode`.
 import os as _os
 
-_SMALL_LINALG_MODE = _os.environ.get("SSMTPU_SMALL_LINALG", "auto")
 
-
-def set_small_linalg_mode(mode: str) -> None:
-    """Select the small-linalg dispatch: 'auto' | 'unrolled' | 'generic'.
-
-    Takes effect at trace time; call before the first jit of a filter (or
-    clear jax caches) to retrace through the other path.
-    """
-    global _SMALL_LINALG_MODE
+def _check_mode(mode: str) -> str:
     if mode not in ("auto", "unrolled", "generic"):
         raise ValueError(f"unknown small-linalg mode {mode!r}; "
                          "expected 'auto', 'unrolled' or 'generic'")
+    return mode
+
+
+_SMALL_LINALG_MODE = _check_mode(_os.environ.get("SSMTPU_SMALL_LINALG", "auto"))
+
+
+def set_small_linalg_mode(mode: str, clear_caches: bool = True) -> None:
+    """Select the small-linalg dispatch: 'auto' | 'unrolled' | 'generic'.
+
+    The mode is read at TRACE time and is not part of jit cache keys, so
+    already-compiled programs would silently keep their old path; by default
+    the switch drops jax's compilation caches to force retraces.  Pass
+    ``clear_caches=False`` only when no affected program has been traced yet
+    (e.g. process startup, or eager-only use).
+    """
+    global _SMALL_LINALG_MODE
+    changed = _check_mode(mode) != _SMALL_LINALG_MODE
     _SMALL_LINALG_MODE = mode
+    if changed and clear_caches:
+        jax.clear_caches()
 
 
 def _unrolled(d: int, limit: int) -> bool:

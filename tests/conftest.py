@@ -109,9 +109,11 @@ def unrolled_linalg():
     """
     from ssmtoybox_tpu.utils import linalg
     prev = linalg._SMALL_LINALG_MODE
-    linalg.set_small_linalg_mode("unrolled")
+    # clear_caches=False: the fixtured tests are eager-only, and dropping the
+    # caches here would throw away every warm program the suite depends on
+    linalg.set_small_linalg_mode("unrolled", clear_caches=False)
     yield
-    linalg.set_small_linalg_mode(prev)
+    linalg.set_small_linalg_mode(prev, clear_caches=False)
 
 
 @pytest.fixture(scope="session")

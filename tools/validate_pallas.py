@@ -75,8 +75,11 @@ def validate(num_samples_stat: int = 200_000, num_samples_exact: int = 2_000_000
     # 2. compiled Mosaic vs the jnp f64 scan paths (independent MC streams) -
     #    each estimate carries ~3/sqrt(N) MC error; two independent streams
     mc_tol = 6.0 / np.sqrt(num_samples_stat)
+    # 'force' guarantees the Pallas kernels actually execute: plain True
+    # defers to the backend at trace time, and a dispatch regression (or a
+    # non-TPU backend) would silently turn check 2 into scan-vs-scan
     kern_p = RBFStudent.create(dim, par, dof=4.0, num_samples=num_samples_stat,
-                               use_pallas=True)
+                               use_pallas="force")
     kern_j = RBFStudent.create(dim, par, dof=4.0, num_samples=num_samples_stat,
                                num_batches=50, use_pallas=False)
     qp, Rp, Qp = kern_p.exp_x_qRQ(jnp.asarray(par), jnp.asarray(x))
