@@ -172,3 +172,36 @@ def test_chol_small_matches_lapack_across_dims(d, unrolled_linalg):
     x = cho_solve_small(L, b)
     x_ref = cho_solve((jnp.linalg.cholesky(P), True), b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_small_linalg_backend_dispatch():
+    """The 'auto' small-linalg mode must lower to LAPACK custom calls on this
+    CPU host (single-op programs; the unrolled graphs are pure compile cost
+    off-TPU), while 'unrolled' must emit the elementwise kernels with no
+    LAPACK custom call — a silent dispatch regression in either direction
+    would only show up as perf, never as a wrong answer."""
+    from ssmtoybox_tpu.utils import linalg
+    A = jnp.eye(4, dtype=jnp.float64) * 2.0
+    cols = jnp.ones((4, 9), dtype=jnp.float64)
+    # fresh lambdas per lowering: jax's jit trace cache is keyed on the
+    # function OBJECT, so lowering linalg.chol_small directly would reuse
+    # the trace from the previous mode (the exact footgun that makes
+    # set_small_linalg_mode clear caches by default; clear_caches=False
+    # here to keep the suite's warm programs alive)
+    low_chol = lambda: jax.jit(lambda a: linalg.chol_small(a)).lower(A).as_text()
+    low_tria = lambda: jax.jit(lambda c: linalg.tria(c)).lower(cols).as_text()
+    prev = linalg._SMALL_LINALG_MODE
+    try:
+        linalg.set_small_linalg_mode("generic", clear_caches=False)
+        assert "lapack_" in low_chol()
+        assert "lapack_" in low_tria()
+        linalg.set_small_linalg_mode("unrolled", clear_caches=False)
+        assert "lapack_" not in low_chol()
+        assert "lapack_" not in low_tria()
+        # 'auto' == 'generic' on the CPU test backend
+        linalg.set_small_linalg_mode("auto", clear_caches=False)
+        assert "lapack_" in low_chol()
+    finally:
+        linalg.set_small_linalg_mode(prev, clear_caches=False)
+    with pytest.raises(ValueError):
+        linalg.set_small_linalg_mode("fastest")
