@@ -32,6 +32,55 @@ __all__ = ["OnlineState", "StepInfo", "make_online_filter",
            "FixedLagState", "make_fixed_lag_smoother"]
 
 
+def streaming_api(state_cls, leaves_fn, one_fn, batch: bool, donate: bool,
+                  cast=jnp.asarray):
+    """Shared scaffolding for every streaming ``(init, step)`` factory
+    (Gaussian + square-root, filter + fixed-lag smoother).
+
+    * ``init(batch_size=None)`` validates the batch flag, builds the state
+      from ``leaves_fn() -> {field: unbatched array}`` with fresh copies
+      (the state is DONATED to the jitted step — handing out the model's own
+      prior buffers would let donation delete them), broadcasting a leading
+      batch axis when ``batch=True``.
+    * ``step(state, y, observed=True)`` wraps the per-target ``one_fn`` in
+      ``vmap`` (batch mode), broadcasts a scalar ``observed`` flag over the
+      batch, and jits with the state buffers donated.
+    """
+    def init(batch_size: Optional[int] = None):
+        if batch and batch_size is None:
+            raise ValueError(
+                "batch=True needs init(batch_size=...) — an unbatched state "
+                "would crash the vmapped step")
+        if not batch and batch_size is not None:
+            raise ValueError(
+                "init(batch_size=...) requires batch=True — an unbatched "
+                "step would silently broadcast batched measurements into a "
+                "corrupt state")
+        leaves = leaves_fn()
+        if batch:
+            leaves = {k: jnp.array(jnp.broadcast_to(v, (batch_size,) + jnp.shape(v)),
+                                   copy=True)
+                      for k, v in leaves.items()}
+        else:
+            leaves = {k: jnp.array(v, copy=True) for k, v in leaves.items()}
+        return state_cls(**leaves)
+
+    inner = jax.vmap(one_fn, in_axes=(0, 0, 0)) if batch else one_fn
+
+    def step_fn(state, y, observed):
+        observed = jnp.asarray(observed, bool)
+        if batch and observed.ndim == 0:
+            observed = jnp.broadcast_to(observed, (y.shape[0],))
+        return inner(state, y, observed)
+
+    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step_api(state, y, observed=True):
+        return step(state, cast(y), observed)
+
+    return init, step_api
+
+
 class OnlineState(struct.PyTreeNode):
     """Streaming filter carry."""
 
@@ -63,24 +112,8 @@ def make_online_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = False,
     """
     m0, P0 = mod_dyn.init_rv.get_stats()[:2]
 
-    def init(batch_size: Optional[int] = None) -> OnlineState:
-        if batch and batch_size is None:
-            raise ValueError("batch=True filters need init(batch_size=...) — "
-                             "an unbatched state would crash the vmapped step")
-        if not batch and batch_size is not None:
-            raise ValueError("init(batch_size=...) requires the filter built "
-                             "with batch=True — an unbatched step would silently "
-                             "broadcast batched measurements into a corrupt state")
-        # fresh copies: the state is donated to the jitted step, and handing
-        # out the model's own prior buffers would let donation delete them
-        if batch and batch_size is not None:
-            return OnlineState(
-                mean=jnp.array(jnp.broadcast_to(m0, (batch_size,) + m0.shape), copy=True),
-                cov=jnp.array(jnp.broadcast_to(P0, (batch_size,) + P0.shape), copy=True),
-                step=jnp.ones((batch_size,), jnp.int32),
-            )
-        return OnlineState(mean=jnp.array(m0, copy=True), cov=jnp.array(P0, copy=True),
-                           step=jnp.asarray(1, jnp.int32))
+    def _leaves():
+        return dict(mean=m0, cov=P0, step=jnp.asarray(1, jnp.int32))
 
     def _one(state: OnlineState, y, observed):
         k = state.step
@@ -93,23 +126,7 @@ def make_online_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = False,
         info = StepInfo(y_pred=y_pr, innov=y - y_pr, innov_cov=S)
         return OnlineState(mean=m_new, cov=P_new, step=k + 1), info
 
-    if batch:
-        inner = jax.vmap(_one, in_axes=(0, 0, 0))
-    else:
-        inner = _one
-
-    def step_fn(state, y, observed):
-        observed = jnp.asarray(observed, bool)
-        if batch and observed.ndim == 0:
-            observed = jnp.broadcast_to(observed, (y.shape[0],))
-        return inner(state, y, observed)
-
-    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    def step_api(state, y, observed=True):
-        return step(state, jnp.asarray(y), observed)
-
-    return init, step_api
+    return streaming_api(OnlineState, _leaves, _one, batch, donate)
 
 
 class FixedLagState(struct.PyTreeNode):
@@ -163,22 +180,9 @@ def make_fixed_lag_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
             buf_xx=jnp.broadcast_to(P0, (lag,) + P0.shape),
         )
 
-    def init(batch_size: Optional[int] = None) -> FixedLagState:
-        if batch and batch_size is None:
-            raise ValueError("batch=True smoothers need init(batch_size=...)")
-        if not batch and batch_size is not None:
-            raise ValueError("init(batch_size=...) requires batch=True")
-        bufs = _fresh_bufs()
-        if batch and batch_size is not None:
-            bufs = {k: jnp.array(jnp.broadcast_to(v, (batch_size,) + v.shape), copy=True)
-                    for k, v in bufs.items()}
-            return FixedLagState(
-                mean=jnp.array(jnp.broadcast_to(m0, (batch_size,) + m0.shape), copy=True),
-                cov=jnp.array(jnp.broadcast_to(P0, (batch_size,) + P0.shape), copy=True),
-                step=jnp.ones((batch_size,), jnp.int32), **bufs)
-        bufs = {k: jnp.array(v, copy=True) for k, v in bufs.items()}
-        return FixedLagState(mean=jnp.array(m0, copy=True), cov=jnp.array(P0, copy=True),
-                             step=jnp.asarray(1, jnp.int32), **bufs)
+    def _leaves():
+        return dict(mean=m0, cov=P0, step=jnp.asarray(1, jnp.int32),
+                    **_fresh_bufs())
 
     def _one(state: FixedLagState, y, observed):
         k = state.step
@@ -216,17 +220,4 @@ def make_fixed_lag_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
         info = StepInfo(y_pred=y_pr, innov=y - y_pr, innov_cov=S)
         return new_state, info, (sm_m, sm_P)
 
-    inner = jax.vmap(_one, in_axes=(0, 0, 0)) if batch else _one
-
-    def step_fn(state, y, observed):
-        observed = jnp.asarray(observed, bool)
-        if batch and observed.ndim == 0:
-            observed = jnp.broadcast_to(observed, (y.shape[0],))
-        return inner(state, y, observed)
-
-    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    def step_api(state, y, observed=True):
-        return step(state, jnp.asarray(y), observed)
-
-    return init, step_api
+    return streaming_api(FixedLagState, _leaves, _one, batch, donate)

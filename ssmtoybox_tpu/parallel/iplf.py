@@ -159,6 +159,12 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
 
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
+    if scan_block_len is not None and not sqrt:
+        raise ValueError(
+            "scan_block_len (the bounded-vmem scan-of-scans) is only wired "
+            "into the square-root scans — pass sqrt=True with it, or drop it; "
+            "silently ignoring it would hit the very vmem ceiling it exists "
+            "to avoid")
     data = jnp.asarray(data, dtype=m0.dtype)
     n_steps = data.shape[-1]
     # integer time stamps, like the sequential filter's k-1 (ssinf.py:183)

@@ -53,7 +53,7 @@ def make_mesh(dp: Optional[int] = None, fb: int = 1,
     devices = jax.devices() if devices is None else list(devices)
     if dp is None:
         dp = len(devices) // fb
-    if dp * fb == 0 or dp * fb > len(devices):
+    if dp <= 0 or fb <= 0 or dp * fb > len(devices):
         raise ValueError(
             f"mesh shape (dp={dp}, fb={fb}) needs {max(dp * fb, 1)} devices; "
             f"{len(devices)} available — a degenerate mesh would only fail "
@@ -163,10 +163,13 @@ def _pad_mc(data_batch: jax.Array, dp: int):
     return data_batch, m
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _sharded_filter_fn(mesh: Mesh):
     """One jitted sharded-filter program per mesh (cached, so repeated study
-    calls reuse the compilation)."""
+    calls reuse the compilation).  Bounded: an unbounded cache keyed on Mesh
+    pins device handles + compiled executables for the process lifetime,
+    which defeats jax.clear_caches()-style footprint control in long
+    sessions that build many meshes."""
 
     @jax.jit
     def run(md, mo, td, to, ys):
@@ -212,7 +215,7 @@ def filter_mc_sharded(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch, mesh: Mesh) 
     return out
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _sharded_bank_fn(mesh: Mesh):
     @jax.jit
     def run(md, mo, tf_dyn_bank, tf_obs_bank, ys):

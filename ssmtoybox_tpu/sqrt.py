@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .online import streaming_api
 from .mtran import (SigmaPointTransform, apply_f_columns, SphericalRadialTransform,
                     UnscentedTransform, GaussHermiteTransform,
                     FullySymmetricStudentTransform)
@@ -232,7 +233,13 @@ def _check_identity_reconstruction(st_, dim):
     Student rule reconstructs ``dof/(dof-2) * I`` instead, which would
     silently inflate every smoothed covariance."""
     recon = st_["xi_d"] @ np.diag(st_["wc_d_np"]) @ st_["xi_d"].T
-    if not np.allclose(recon, np.eye(dim), atol=1e-10):
+    # tolerance must scale with the STORED dtype: in f32 (the module's
+    # serving configuration, x64 disabled) GH reconstruction noise is ~4e-9,
+    # which a fixed 1e-10 would spuriously reject; 1000*eps gives 1.2e-4
+    # (f32) / 2.2e-13 (f64) — both orders away from the dof/(dof-2) scale
+    # error this check exists to catch
+    atol = 1000.0 * float(np.finfo(np.asarray(st_["wc_d_np"]).dtype).eps)
+    if not np.allclose(recon, np.eye(dim), atol=atol):
         raise TypeError(
             "square-root smoothing requires a sigma-point rule whose covariance "
             "weights reconstruct identity (sum wc_i xi_i xi_i^T = I); this rule "
@@ -370,25 +377,9 @@ def make_online_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = Fals
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
     step_core = cores["step"]
 
-    def init(batch_size=None) -> SqrtOnlineState:
-        if batch and batch_size is None:
-            raise ValueError("batch=True filters need init(batch_size=...) — "
-                             "an unbatched state would crash the vmapped step")
-        if not batch and batch_size is not None:
-            raise ValueError("init(batch_size=...) requires the filter built "
-                             "with batch=True — an unbatched step would silently "
-                             "broadcast batched measurements into a corrupt state")
-        m0, S0 = cast(m0_np), cast(S0_np)
-        # fresh copies: the state is donated to the jitted step
-        if batch and batch_size is not None:
-            return SqrtOnlineState(
-                mean=jnp.array(jnp.broadcast_to(m0, (batch_size,) + m0.shape), copy=True),
-                sqrt=jnp.array(jnp.broadcast_to(S0, (batch_size,) + S0.shape), copy=True),
-                step=jnp.ones((batch_size,), jnp.int32),
-            )
-        return SqrtOnlineState(mean=jnp.array(m0, copy=True),
-                               sqrt=jnp.array(S0, copy=True),
-                               step=jnp.asarray(1, jnp.int32))
+    def _leaves():
+        return dict(mean=cast(m0_np), sqrt=cast(S0_np),
+                    step=jnp.asarray(1, jnp.int32))
 
     def _one(state: SqrtOnlineState, y, observed):
         m_pr, S_pr, y_pr, S_yy, m_fi, S_fi = step_core(
@@ -398,20 +389,7 @@ def make_online_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, batch: bool = Fals
         info = SqrtStepInfo(y_pred=y_pr, innov=y - y_pr, innov_sqrt=S_yy)
         return SqrtOnlineState(mean=m_new, sqrt=S_new, step=state.step + 1), info
 
-    inner = jax.vmap(_one, in_axes=(0, 0, 0)) if batch else _one
-
-    def step_fn(state, y, observed):
-        observed = jnp.asarray(observed, bool)
-        if batch and observed.ndim == 0:
-            observed = jnp.broadcast_to(observed, (y.shape[0],))
-        return inner(state, y, observed)
-
-    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    def step_api(state, y, observed=True):
-        return step(state, cast(y), observed)
-
-    return init, step_api
+    return streaming_api(SqrtOnlineState, _leaves, _one, batch, donate, cast=cast)
 
 
 class SquareRootKalman:
@@ -529,24 +507,9 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
             buf_pr_m=jnp.broadcast_to(m0, (lag,) + m0.shape),
         )
 
-    def init(batch_size=None) -> FixedLagSqrtState:
-        if batch and batch_size is None:
-            raise ValueError("batch=True smoothers need init(batch_size=...)")
-        if not batch and batch_size is not None:
-            raise ValueError("init(batch_size=...) requires batch=True")
-        m0, S0 = cast(m0_np), cast(S0_np)
-        bufs = _fresh_bufs()
-        if batch and batch_size is not None:
-            bufs = {k: jnp.array(jnp.broadcast_to(v, (batch_size,) + v.shape), copy=True)
-                    for k, v in bufs.items()}
-            return FixedLagSqrtState(
-                mean=jnp.array(jnp.broadcast_to(m0, (batch_size,) + m0.shape), copy=True),
-                sqrt=jnp.array(jnp.broadcast_to(S0, (batch_size,) + S0.shape), copy=True),
-                step=jnp.ones((batch_size,), jnp.int32), **bufs)
-        bufs = {k: jnp.array(v, copy=True) for k, v in bufs.items()}
-        return FixedLagSqrtState(mean=jnp.array(m0, copy=True),
-                                 sqrt=jnp.array(S0, copy=True),
-                                 step=jnp.asarray(1, jnp.int32), **bufs)
+    def _leaves():
+        return dict(mean=cast(m0_np), sqrt=cast(S0_np),
+                    step=jnp.asarray(1, jnp.int32), **_fresh_bufs())
 
     def _one(state: FixedLagSqrtState, y, observed):
         k = state.step
@@ -582,17 +545,5 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
         info = SqrtStepInfo(y_pred=y_pr, innov=y - y_pr, innov_sqrt=S_yy)
         return new_state, info, (sm_m, sm_S)
 
-    inner = jax.vmap(_one, in_axes=(0, 0, 0)) if batch else _one
-
-    def step_fn(state, y, observed):
-        observed = jnp.asarray(observed, bool)
-        if batch and observed.ndim == 0:
-            observed = jnp.broadcast_to(observed, (y.shape[0],))
-        return inner(state, y, observed)
-
-    step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    def step_api(state, y, observed=True):
-        return step(state, cast(y), observed)
-
-    return init, step_api
+    return streaming_api(FixedLagSqrtState, _leaves, _one, batch, donate,
+                         cast=cast)

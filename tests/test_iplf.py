@@ -311,6 +311,11 @@ def test_invalid_init_raises():
     tf = UnscentedTransform(2)
     with np.testing.assert_raises(ValueError):
         iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=1, init="bogus")
+    # scan_block_len is only wired into the sqrt scans; silently ignoring it
+    # in full-covariance mode would hit the vmem ceiling it exists to avoid
+    with np.testing.assert_raises(ValueError):
+        iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=1,
+                                   scan_block_len=64)
 
 
 def test_iplf_with_bq_transform(pendulum_ut_ipls):

@@ -142,6 +142,18 @@ class TestSqrtParity:
         np.testing.assert_allclose(np.asarray(bm[0]), np.asarray(sm), atol=1e-12)
         np.testing.assert_allclose(np.asarray(bc[0]), np.asarray(sc), atol=1e-12)
 
+    def test_f32_gh_smoother_identity_check_passes(self, ungm):
+        """Regression: the GH rule's identity-reconstruction check used a
+        fixed atol=1e-10, below f32 resolution of the rule constants, so the
+        f32 serving configuration spuriously rejected GH smoothing (noise is
+        ~4e-9 there); the tolerance now scales with the stored dtype."""
+        dyn, obs, x, y = ungm
+        srf = SquareRootKalman(dyn, obs, points="gh", point_hyp={"degree": 3},
+                               dtype=jnp.float32)
+        sm, sP = srf.smooth(y[..., 0])
+        assert sm.dtype == jnp.float32
+        assert bool(jnp.isfinite(sm).all())
+
     def test_f32_stays_pd_and_tracks_f64(self, reentry):
         dyn, obs, x, y = reentry
         sr32 = SquareRootKalman(dyn, obs, points="sr", dtype=jnp.float32)
