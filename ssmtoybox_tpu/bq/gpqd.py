@@ -238,6 +238,23 @@ class GaussianProcessDerModel(GaussianProcessModel):
         return BQWeights(wm=w_m, Wc=w_c, Wcc=w_cc, model_var=model_var,
                          integral_var=integral_var, q=q_tilde, Q=Q_tilde, iK=iK)
 
+    def exp_model_variance(self, par=None, *args, weights=None):
+        """Joint function+derivative EMV (``gpqd_base.py:107-115``).
+
+        The base class's version mixes the joint Gram inverse with
+        function-only expectations and crashes on a shape mismatch; the
+        joint ``Q_tilde``-based value is what :meth:`bq_weights` computes.
+        """
+        if weights is None:
+            weights = self.bq_weights(par)
+        return weights.model_var
+
+    def integral_variance(self, par=None, *args, weights=None):
+        """Joint ``q_tilde``-based integral variance (``gpqd_base.py:117-126``)."""
+        if weights is None:
+            weights = self.bq_weights(par)
+        return weights.integral_var
+
 
 class GaussianProcessDerTransform(BQTransform):
     """GPQ+D moment transform (``gpqd_base.py:11-52``).

@@ -467,7 +467,13 @@ class RQ(Kernel):
         x_1 = inv_lam_1[:, None] * x
         r = inv_lam + inv_lam_1 + 1.0
 
-        n = (xi[:, None] + xi_1[None, :]) + maha(x_0.T, -x_1.T, V=jnp.diag(1.0 / r))
+        # completing the square in the Gaussian-weighted product kernel gives
+        # a NEGATIVE cross correction: n = xi_i + xi_j - z^T R^-1 z with
+        # z = inv_lam x_i + inv_lam_1 x_j.  The reference ADDS it
+        # (bqkern.py:686) — a sign bug: its Q fails the alpha->inf RBF limit
+        # by up to ~70% (see test_rq_kxkx_rbf_limit); fixed here, recorded in
+        # docs/parity.md.
+        n = (xi[:, None] + xi_1[None, :]) - maha(x_0.T, -x_1.T, V=jnp.diag(1.0 / r))
         return s ** 2 * s_1 ** 2 * jnp.prod(r) ** -0.5 * (1.0 + n / (2.0 * alpha)) ** (-alpha)
 
     def exp_x_kxx(self, par):

@@ -285,7 +285,11 @@ def _exp_x_xpx(multi_ind: np.ndarray) -> np.ndarray:
             alpha_min_d = multi_ind[d_ind != d, qi]
             if (multi_ind[d, qi] + 1) % 2 == 0 and np.all(alpha_min_d % 2 == 0):
                 amd = np.prod([float(_dfact(int(a) - 1)) for a in alpha_min_d])
-                out[d, qi] = multi_ind[d, qi] * amd
+                # E[x_d^(alpha_d + 1)] = alpha_d!! for odd alpha_d.  The
+                # reference uses plain alpha_d (``bqmod.py:697``) — equal to
+                # alpha_d!! only for alpha_d in {1, 3}, wrong from degree 5
+                # (5!! = 15, not 5); fixed here, recorded in docs/parity.md.
+                out[d, qi] = float(_dfact(int(multi_ind[d, qi]))) * amd
     return out
 
 

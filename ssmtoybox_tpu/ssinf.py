@@ -888,11 +888,18 @@ class TruncatedCubatureKalman(GaussianInference):
 
 
 class TruncatedGaussHermiteKalman(GaussianInference):
-    """(``ssinf.py:882-901``)"""
+    """(``ssinf.py:882-901``)
+
+    Deviation: the reference builds the measurement transform with
+    ``dyn.dim_in`` as the effective dimension (``ssinf.py:901``) — a
+    copy-paste slip its UT/CKF siblings don't share, which crashes (or
+    silently mis-truncates) whenever ``dyn.dim_in != obs.dim_in``;
+    ``obs.dim_in`` here, matching TruncatedUnscentedKalman/CubatureKalman.
+    """
 
     def __init__(self, dyn, obs, degree=3):
         tf = GaussHermiteTransform(dyn.dim_in, degree)
-        th = TruncatedGaussHermiteTransform(obs.dim_state, dyn.dim_in, degree)
+        th = TruncatedGaussHermiteTransform(obs.dim_state, obs.dim_in, degree)
         super().__init__(dyn, obs, tf, th)
 
 

@@ -326,6 +326,14 @@ class ConstantTurnRateSpeed(TransitionModel):
     noise_additive = False
 
     dt: float = struct.field(pytree_node=False, default=0.05)
+    #: The reference's code increments the heading by ``dt * heading``
+    #: (``ssmod.py:763,771``) — contradicting its own docstring AND its
+    #: continuous dynamics (``dyn_fcn_cont``: heading' = yaw rate), so the
+    #: heading grows geometrically regardless of the turn rate.  The default
+    #: here is the DOCUMENTED model (``heading += dt * yaw_rate``); build
+    #: with ``compat_heading=True`` for bit-parity with the reference
+    #: (the golden parity tests do).  See docs/parity.md.
+    compat_heading: bool = struct.field(pytree_node=False, default=False)
 
     def dyn_fcn(self, x, q, time):
         dt = self.dt
@@ -333,12 +341,13 @@ class ConstantTurnRateSpeed(TransitionModel):
         omega = x[4]
         om_safe = jnp.where(jnp.abs(omega) < tiny, tiny, omega)
         c = x[2] / om_safe
+        heading_rate = x[3] if self.compat_heading else x[4]
         # turning branch (omega != 0)
         f_turn = jnp.stack([
             c * (jnp.sin(x[3] + omega * dt) - jnp.sin(x[3])) + 0.5 * dt ** 2 * jnp.cos(x[3]) * q[0],
             c * (-jnp.cos(x[3] + omega * dt) + jnp.cos(x[3])) + 0.5 * dt ** 2 * jnp.sin(x[3]) * q[0],
             dt * q[0],
-            dt * x[3] + 0.5 * dt ** 2 * q[1],
+            dt * heading_rate + 0.5 * dt ** 2 * q[1],
             dt * q[1],
         ])
         # straight-line branch (omega == 0), cf. ``ssmod.py:756-764``
@@ -346,7 +355,7 @@ class ConstantTurnRateSpeed(TransitionModel):
             dt * x[2] * jnp.cos(x[3]),
             dt * x[2] * jnp.sin(x[3]),
             dt * q[0],
-            dt * x[3] + 0.5 * dt ** 2 * q[1],
+            dt * heading_rate + 0.5 * dt ** 2 * q[1],
             dt * q[1],
         ])
         f = jnp.where(jnp.abs(omega) < tiny, f_straight, f_turn)

@@ -155,6 +155,17 @@ class TestBSQ:
         mc = bs.mc_exp_x_kxpx(jax.random.PRNGKey(0), num_iter=10)
         np.testing.assert_allclose(closed, mc, atol=5e-3)
 
+    def test_xpx_moments_degree5_vs_mc(self):
+        """E[x p(x)^T] closed form for odd degrees >= 5: E[x^6] = 5!! = 15,
+        E[x^8] = 7!! = 105 — the reference's formula returns alpha_d (5, 7)
+        instead of alpha_d!! (``bqmod.py:697``), coincidentally right only
+        for degrees 1 and 3 (see docs/parity.md)."""
+        from ssmtoybox_tpu.bq.models import _exp_x_xpx
+        mi = np.array([[1, 3, 5, 7], [0, 2, 0, 0]])
+        got = _exp_x_xpx(mi)
+        np.testing.assert_allclose(got[0], [1.0, 3.0, 15.0, 105.0], rtol=0)
+        np.testing.assert_allclose(got[1], 0.0, rtol=0)
+
     def test_compat_flag_changes_emv_only(self):
         par = np.array([[2.0, 0.5]])
         mul = np.array([[0, 1, 2]])
@@ -297,6 +308,24 @@ class TestStudentKernel:
         np.testing.assert_allclose(float(k_pal.exp_xy_kxy(par)),
                                    float(k_scan.exp_xy_kxy(par)), atol=2e-2)
 
+    def test_rq_kxkx_rbf_limit(self):
+        """alpha -> inf must degrade RQ to RBF, so exp_x_kxkx must converge
+        to the RBF closed form (the reference's sign bug fails this by up to
+        ~70%; see docs/parity.md) — and match a 400k-sample MC estimate."""
+        from ssmtoybox_tpu.bq.kernels import RQ, RBFGauss
+        par_rq = np.array([[1.0, 1e7, 1.3, 0.8]])
+        par_rbf = np.array([[1.0, 1.3, 0.8]])
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 3))
+        rq = RQ.create(2, par_rq)
+        Q_rq = rq.exp_x_kxkx(par_rq, par_rq, x)
+        Q_rbf = RBFGauss.create(2, par_rbf).exp_x_kxkx(par_rbf, par_rbf, x)
+        np.testing.assert_allclose(np.asarray(Q_rq), np.asarray(Q_rbf),
+                                   rtol=1e-5, atol=1e-6)
+        samp = np.random.RandomState(1).randn(400_000, 2)
+        k = np.asarray(rq.eval(par_rq, jnp.asarray(samp.T), x))
+        Q_mc = k.T @ k / len(samp)
+        np.testing.assert_allclose(np.asarray(Q_rq), Q_mc, atol=3e-3)
+
     def test_rq_expectations_shapes(self):
         par = np.array([[1.0, 2.0, 1.0, 1.0]])
         x = jnp.asarray(np.random.RandomState(3).randn(2, 5))
@@ -309,6 +338,18 @@ class TestStudentKernel:
 
 
 class TestGPQD:
+    def test_der_model_emv_ivar_joint(self):
+        """exp_model_variance/integral_variance on the derivative model use
+        the JOINT function+derivative expectations; the inherited versions
+        crashed on a shape mismatch between the joint Gram inverse and the
+        function-only Q/q (gpqd_base.py:107-126)."""
+        m = GaussianProcessDerModel.create(2, np.array([[1.0, 1.0, 1.0]]))
+        w = m.bq_weights()
+        emv, ivar = m.exp_model_variance(), m.integral_variance()
+        np.testing.assert_allclose(float(emv), float(w.model_var), rtol=1e-12)
+        np.testing.assert_allclose(float(ivar), float(w.integral_var), rtol=1e-12)
+        assert float(emv) >= 0.0
+
     def test_der_kernel_blocks_consistent_with_ad(self):
         """Kfd/Kdd blocks equal AD derivatives of the RBF kernel."""
         par = np.array([[1.0, 1.3]])

@@ -164,11 +164,18 @@ def test_coordinated_turn_parity(goldens):
 
 
 def test_ctrs_radar_parity(goldens):
-    """Non-additive 5-state CTRS dynamics + radar (dim_in = 7 UT)."""
+    """Non-additive 5-state CTRS dynamics + radar (dim_in = 7 UT).
+
+    ``compat_heading=True``: the golden was produced by the reference, whose
+    code increments the heading by ``dt*heading`` instead of the documented
+    ``dt*yaw_rate`` (``ssmod.py:763,771``); the default model here is the
+    documented one (see docs/parity.md and test_ssmod_ssinf's heading test).
+    """
     g = goldens["ctrs_radar"]
     dyn = ConstantTurnRateSpeed.create(
         GaussRV.create(5, mean=np.array([10., 0., 5., 0.5, 0.1]), cov=0.1 * np.eye(5)),
-        GaussRV.create(2, cov=np.diag([0.1, 0.1 * np.pi])), dt=0.05)
+        GaussRV.create(2, cov=np.diag([0.1, 0.1 * np.pi])), dt=0.05,
+        compat_heading=True)
     obs = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([0.3, 0.03])),
                                     dim_state=5, state_index=[0, 1])
     alg = st.UnscentedKalman(dyn, obs)
@@ -232,15 +239,38 @@ def test_kernel_expectation_parity(goldens):
 
 
 def test_rq_kernel_parity(goldens):
+    """Parity on K/q/R/kxy; DOCUMENTED DEVIATION on Q: the reference adds
+    the completed-square cross term with the wrong sign (``bqkern.py:686``),
+    failing its own alpha->inf RBF limit by up to ~70% — we fix the sign
+    (see docs/parity.md).  The golden is pinned to the reference's buggy
+    formula (reconstructed here) so any further drift is still caught, and
+    the fix itself is gated by the RBF-limit + MC test in test_bq."""
     from ssmtoybox_tpu.bq.kernels import RQ
     g = goldens["transforms"]
     x, par = g["kern_x"], g["rq_par"]
     rq = RQ.create(2, par)
     assert_close(rq.eval(par, x), g["rq_K"], "RQ K")
     assert_close(rq.exp_x_kx(par, x), g["rq_q"], "RQ q")
-    assert_close(rq.exp_x_kxkx(par, par, x), g["rq_Q"], "RQ Q")
     assert_close(rq.exp_x_xkx(par, x), g["rq_R"], "RQ R")
     assert_close(jnp.atleast_1d(rq.exp_xy_kxy(par)), g["rq_kxy"], "RQ kxy")
+
+    # reference's Q with the sign bug, reconstructed independently in numpy:
+    # quad[i,j] = (z_i + z_j)^T R^-1 (z_i + z_j) with z = Lam^-1 x — the
+    # reference ADDS it to xi_i + xi_j, the corrected form SUBTRACTS it
+    alpha, ell = float(par[0, 1]), np.asarray(par[0, 2:])
+    xs = np.asarray(x)
+    inv_lam = ell ** -2.0
+    r = 2.0 * inv_lam + 1.0
+    xi = np.sum((xs / ell[:, None]) ** 2, axis=0)
+    z = inv_lam[:, None] * xs                                  # (D, N)
+    zz = z[:, :, None] + z[:, None, :]                         # (D, N, N)
+    quad = np.einsum("dij,d,dij->ij", zz, 1.0 / r, zz)
+    base = xi[:, None] + xi[None, :]
+    det_term = np.prod(r) ** -0.5
+    Q_ref = det_term * (1.0 + (base + quad) / (2.0 * alpha)) ** (-alpha)
+    Q_fix = det_term * (1.0 + (base - quad) / (2.0 * alpha)) ** (-alpha)
+    assert_close(jnp.asarray(Q_ref), g["rq_Q"], "RQ Q (reference formula)")
+    assert_close(rq.exp_x_kxkx(par, par, x), jnp.asarray(Q_fix), "RQ Q (fixed)")
 
 
 @pytest.mark.parametrize("point_str", ["ut", "sr", "gh"])

@@ -40,6 +40,22 @@ class TestSimulators:
         assert x.shape == (5, 20, 3)
         assert bool(jnp.isfinite(x).all())
 
+    def test_ctrs_heading_follows_yaw_rate(self):
+        """The default CTRS discretization must evolve the heading by the
+        yaw rate (its own continuous dynamics: heading' = x[4]); the
+        reference's code uses dt*heading instead (``ssmod.py:763,771``),
+        growing the heading geometrically regardless of the turn rate —
+        kept only behind compat_heading=True for golden parity."""
+        dyn = ConstantTurnRateSpeed.create(GaussRV.create(5), GaussRV.create(2), dt=0.1)
+        x = jnp.asarray(np.array([0.0, 0.0, 2.0, 1.0, 0.5]))
+        q = jnp.zeros(2)
+        nxt = dyn.dyn_fcn(x, q, 0)
+        np.testing.assert_allclose(float(nxt[3]), 1.0 + 0.1 * 0.5, rtol=1e-12)
+        compat = ConstantTurnRateSpeed.create(GaussRV.create(5), GaussRV.create(2),
+                                              dt=0.1, compat_heading=True)
+        np.testing.assert_allclose(float(compat.dyn_fcn(x, q, 0)[3]),
+                                   1.0 + 0.1 * 1.0, rtol=1e-12)
+
     def test_continuous_shapes(self):
         dyn = ReentryVehicle1DTransition.create(
             GaussRV.create(3, mean=np.array([90.0, 6.0, 1.7]),
@@ -260,6 +276,22 @@ class TestFilters:
         x = dyn.simulate_discrete(jax.random.PRNGKey(8), steps=20, mc_sims=1)
         y = obs.simulate_measurements(jax.random.PRNGKey(9), x)[..., 0]
         fm, _ = st.UnscentedKalman(dyn, obs).forward_pass(y)
+        assert bool(jnp.isfinite(fm).all())
+
+    def test_truncated_gh_runs_with_nonadditive_dyn(self):
+        """Regression: the reference wires dyn.dim_in into the MEASUREMENT
+        transform's effective dimension (``ssinf.py:901``), crashing whenever
+        dyn.dim_in != obs.dim_in (e.g. non-additive dynamics); fixed to
+        obs.dim_in like the UT/CKF truncated siblings."""
+        dyn = UNGMNATransition.create(GaussRV.create(1, mean=1.0, cov=1.0),
+                                      GaussRV.create(1, cov=1.0))
+        obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+        assert dyn.dim_in != obs.dim_in
+        y = obs.simulate_measurements(
+            jax.random.PRNGKey(1),
+            dyn.simulate_discrete(jax.random.PRNGKey(0), 10, 1))[..., 0]
+        from ssmtoybox_tpu.ssinf import TruncatedGaussHermiteKalman
+        fm, _ = TruncatedGaussHermiteKalman(dyn, obs, degree=3).forward_pass(y)
         assert bool(jnp.isfinite(fm).all())
 
     def test_gpqd_filter_runs(self, ungm):
