@@ -103,8 +103,13 @@ def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True,
         # divergence-aware aggregation: filters can lose positive definiteness
         # on individual trajectories (the reference crashes outright there,
         # e.g. its BSQ smoke tests skip known-hard cases, test_ssinf.py:99);
-        # diverged runs are excluded and counted instead of poisoning means
-        finite = np.isfinite(np.asarray(scores["rmse"]))
+        # diverged runs are excluded and counted instead of poisoning means.
+        # A run counts as diverged if ANY score is non-finite — a filter can
+        # lose PD (NaN nll/nci through the covariance logdet) while its mean
+        # stays finite, and masking on rmse alone would poison those columns
+        finite = np.ones(m, dtype=bool)
+        for v in scores.values():
+            finite &= np.isfinite(np.asarray(v))
         n_ok = max(int(finite.sum()), 1)
         for k, v in scores.items():
             vv = np.asarray(v)[finite]

@@ -23,8 +23,10 @@ Three kernels, chosen by profiling the reference's cost structure (SURVEY §3.3)
    the (compile-time) multi-index.
 
 Pallas TPU compute is float32 (Mosaic has no f64 VPU/MXU path); the kernels
-run in f32 with f64 in/out casts.  That is exact for ``vandermonde`` on
-sigma-point-scale inputs.  The Student MC kernels emit PER-CHUNK f32 partial
+run in f32.  ``vandermonde`` therefore RETURNS f32 (~1e-7 relative accuracy
+— monomials of irrational sigma-point coordinates are not exactly
+representable; the exact-f64 :func:`ssmtoybox_tpu.utils.combin.vandermonde`
+is what BSQ weight solves use).  The Student MC kernels emit PER-CHUNK f32 partial
 sums that are reduced in f64 outside the kernel: per-chunk rounding averages
 out across chunks, whereas in-kernel f32 accumulation would quantize the
 final expectations at ~1e-7 relative.  This keeps the RAW expectations at
@@ -272,6 +274,13 @@ def vandermonde(mul_ind, x, interpret: bool | None = None) -> jax.Array:
 
     ``vdm[n, b] = prod_d x[d, n] ** mul_ind[d, b]`` — the reference's Numba
     kernel (``utils.py:478-502``) as a TPU VPU kernel.
+
+    Returns FLOAT32: Mosaic has no f64 ALU path, so the monomial products
+    carry f32 accuracy (~1e-7 relative on sigma-point-scale inputs) no
+    matter the input dtype — the dtype now says so instead of a silent
+    f64 upcast.  BSQ weight solves (ill-conditioned Vandermonde systems)
+    must use the exact :func:`~ssmtoybox_tpu.utils.combin.vandermonde`,
+    and do.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -279,7 +288,6 @@ def vandermonde(mul_ind, x, interpret: bool | None = None) -> jax.Array:
     x = jnp.asarray(x)
     d, n = x.shape
     q = mul_ind.shape[1]
-    in_dtype = x.dtype
 
     np_pad = _round_up(max(n, 1), 8)
     dp = max(d, 1)      # D axis needs no explicit alignment (Mosaic pads)
@@ -295,4 +303,4 @@ def vandermonde(mul_ind, x, interpret: bool | None = None) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((np_pad, qp), jnp.float32),
         interpret=interpret,
     )(xp)
-    return out[:n, :q].astype(in_dtype)
+    return out[:n, :q]        # f32 on purpose — see docstring

@@ -64,6 +64,12 @@ _SMALL_LINALG_MODE = _check_mode(_os.environ.get("SSMTPU_SMALL_LINALG", "auto"))
 def set_small_linalg_mode(mode: str, clear_caches: bool = True) -> None:
     """Select the small-linalg dispatch: 'auto' | 'unrolled' | 'generic'.
 
+    The mode picks the path WITHIN each op's static size cap
+    (:data:`SMALL_DIM_MAX` / :data:`TRIA_SMALL_DIM_MAX` /
+    :data:`UNROLL_MATMUL_MAX`): above the cap the generic XLA op always
+    runs, 'unrolled' included — there the unrolled graphs lose on every
+    backend, which is why the caps exist.
+
     The mode is read at TRACE time and is not part of jit cache keys, so
     already-compiled programs would silently keep their old path; by default
     the switch drops jax's compilation caches to force retraces.  Pass
@@ -227,7 +233,11 @@ def chol_small_psd(a: jax.Array) -> jax.Array:
     """
     d = a.shape[-1]
     if d > SMALL_DIM_MAX:
-        return safe_cholesky(a)
+        # safe_cholesky's eigh fallback returns a NON-triangular square root;
+        # this function's contract is a lower-triangular factor (callers
+        # substitute against it), so re-triangularize — a no-op (up to
+        # rounding) when the plain Cholesky succeeded
+        return tria(safe_cholesky(a))
     eps = jnp.finfo(a.dtype).eps
     diag = jnp.stack([a[..., i, i] for i in range(d)], axis=-1)
     scale = jnp.clip(jnp.max(diag, axis=-1), jnp.finfo(a.dtype).tiny)

@@ -327,3 +327,33 @@ def test_study_scores_isolate_diverged_runs():
     for k in ("nci", "inc", "nll"):
         vals = np.asarray(s[k])[finite_runs]
         assert np.isfinite(vals).all(), (k, vals)
+
+
+def test_filter_bank_masks_each_metric(monkeypatch):
+    """Regression: a run with a FINITE mean but NaN covariance (lost PD)
+    has finite rmse yet NaN nll/nci — masking on rmse alone let it poison
+    the aggregated columns while reporting diverged=0."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    import common
+    rng = np.random.default_rng(1)
+    d, n, m = 2, 6, 4
+    x = jnp.asarray(rng.standard_normal((d, n, m)))
+    fm = jnp.asarray(np.moveaxis(np.asarray(x), -1, 0) + 0.1 * rng.standard_normal((m, d, n)))
+    fP = jnp.array(np.broadcast_to(np.eye(d)[None, :, :, None], (m, d, d, n)))
+    fP = fP.at[1].set(jnp.nan)                 # run 1: finite mean, NaN cov
+
+    class FakeResult:
+        fi_mean, fi_cov = fm, fP
+
+    class FakeAlg:
+        def forward_pass_batch(self, ys):
+            return FakeResult()
+
+    y = np.asarray(x)[:1]                      # (1, n, m) measurement layout
+    df, _ = common.run_filter_bank({"fake": FakeAlg()}, y, np.asarray(x),
+                                   verbose=False, warmup=False)
+    row = df.loc["fake"]
+    assert row["diverged"] == 1
+    for k in ("rmse", "nll", "nci", "inc"):
+        assert np.isfinite(row[k]), (k, row[k])
