@@ -69,7 +69,8 @@ def tpu_run():
     float(jnp.sum(out))
     t_ungm = min(_timed(lambda: float(jnp.sum(
         run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)))) for _ in range(3))
-    out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
+    # `out` from the warmup call above is the same pure function on the same
+    # inputs — no need to burn another full 10k-batch pass for the RMSE line
     rmse_ungm = float(jnp.sqrt(jnp.mean((jnp.moveaxis(x, -1, 0) - out) ** 2)))
     log(f"UNGM UKF {MC_RUNS}x{UNGM_STEPS} f64: {t_ungm:.3f}s (RMSE {rmse_ungm:.3f})")
 
@@ -115,20 +116,9 @@ def tpu_run():
 
 def baseline_reference(y_ungm, y_reentry):
     """Time the actual reference implementation, single core, on subsets."""
-    import types
-    numba_stub = types.ModuleType("numba")
-    numba_stub.jit = lambda *a, **k: (lambda f: f)
-    sys.modules.setdefault("numba", numba_stub)
-    sys.path.insert(0, "/root/reference")
-    os.environ.setdefault("MPLBACKEND", "Agg")
-    import scipy as sp
-    if not hasattr(np, "int"):
-        np.int = int
-    if not hasattr(np, "asscalar"):
-        np.asscalar = lambda a: np.asarray(a).item()
-    if not hasattr(sp, "log10"):
-        sp.log10 = np.log10
-    np.linalg.linalg = np.linalg
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.refcompat import install
+    install()
 
     from ssmtoybox.ssmod import (UNGMTransition, UNGMMeasurement,
                                  ReentryVehicle2DTransition, Radar2DMeasurement)
@@ -260,12 +250,18 @@ def _probe_backend(timeout_s: int = 120) -> None:
     device discovery in a disposable subprocess so a dead tunnel turns into
     a loud rc=2 instead of an eternal hang of the whole bench run.
     """
+    import os
     import subprocess
+    code = "import jax; print(jax.default_backend(), len(jax.devices()))"
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # caller pinned CPU: pin the probe through the config API too — env
+        # vars alone don't stop a dead tunnel from hanging backend init
+        # (sitecustomize imports jax at interpreter start), and a CPU run
+        # needs no tunnel
+        code = ("import jax; jax.config.update('jax_platforms', 'cpu'); " + code)
     try:
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend(), len(jax.devices()))"],
-            capture_output=True, text=True, timeout=timeout_s)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         log(f"FATAL: jax backend init did not complete within {timeout_s}s "
             "— TPU tunnel down? (jax.devices() hangs)")

@@ -74,7 +74,11 @@ def main():
     for name, (res, _) in raw.items():
         sm, sP = smooth(res)
         scores = study_scores(jnp.asarray(x), sm, sP)
-        finite = np.isfinite(np.asarray(scores["rmse"]))
+        # a run is diverged if ANY score is non-finite (a lost-PD covariance
+        # gives NaN nll/nci with a finite mean; cf. run_filter_bank)
+        finite = np.ones(sm.shape[0], dtype=bool)
+        for v in scores.values():
+            finite &= np.isfinite(np.asarray(v))
         rows[name] = {k: float(np.mean(np.asarray(v)[finite])) if finite.any() else float("nan")
                       for k, v in scores.items()}
         rows[name]["diverged"] = int((~finite).sum())

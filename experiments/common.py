@@ -21,6 +21,13 @@ from ssmtoybox_tpu.utils.profiling import sync
 
 
 def setup_jax(use_x64: bool = True):
+    # SSMTPU_PLATFORM=cpu pins the backend through the config API — the only
+    # reliable way on this image (env vars alone don't stop a dead TPU
+    # tunnel from hanging backend init; sitecustomize imports jax at
+    # interpreter start)
+    platform = os.environ.get("SSMTPU_PLATFORM", "").strip().lower()
+    if platform:
+        jax.config.update("jax_platforms", platform)
     if use_x64:
         jax.config.update("jax_enable_x64", True)
 

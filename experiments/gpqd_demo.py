@@ -55,7 +55,7 @@ def main():
     print_tables(pd.DataFrame(rows).T, "GPQ vs GPQ+D transform (sin + quadratic)")
 
     # ---- filter-level: EKF vs ExtendedKalmanGPQD on UNGM (hybrid_demo) ---
-    dyn = UNGMTransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
     obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
     x = dyn.simulate_discrete(jax.random.PRNGKey(args.seed + 1), steps=args.steps,
                               mc_sims=args.mc)

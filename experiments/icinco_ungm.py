@@ -31,7 +31,7 @@ def main():
     from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
     from ssmtoybox_tpu.utils import GaussRV
 
-    dyn = UNGMTransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
     obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
 
     key = jax.random.PRNGKey(args.seed)

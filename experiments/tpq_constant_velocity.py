@@ -122,9 +122,13 @@ def main():
         for name, (res, _) in raw.items():
             s = study_scores(jnp.asarray(x)[ix],
                              res.fi_mean[:, ix], res.fi_cov[:, ix][:, :, ix])
-            finite = np.isfinite(np.asarray(s["rmse"]))
-            rows[name] = {k: float(np.mean(np.asarray(v)[finite]))
-                          for k, v in s.items()}
+            # mask runs where ANY sub-block score is non-finite (lost-PD
+            # covariance gives NaN inc with a finite rmse)
+            finite = np.ones(res.fi_mean.shape[0], dtype=bool)
+            for v in s.values():
+                finite &= np.isfinite(np.asarray(v))
+            rows[name] = {k: float(np.mean(np.asarray(v)[finite])) if finite.any()
+                          else float("nan") for k, v in s.items()}
         print_tables(pd.DataFrame(rows).T[["rmse", "inc"]],
                      f"CV glint {label} scores", args.latex)
 

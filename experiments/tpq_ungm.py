@@ -31,35 +31,52 @@ def main():
 
     setup_jax()
     import jax
-    import jax.numpy as jnp
     import ssmtoybox_tpu as st
     from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
-    from ssmtoybox_tpu.utils import GaussRV, StudentRV, bigauss_mixture
+    from ssmtoybox_tpu.utils import GaussRV, StudentRV, GaussianMixtureRV
 
-    # data-generating system: Gaussian state noise, glint measurement noise
-    # (80% N(0, 0.01), 20% N(0, 10) — tpq_ungm.py:38-60)
-    dyn_data = UNGMTransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0))
-    key = jax.random.PRNGKey(args.seed)
-    x = dyn_data.simulate_discrete(key, steps=args.steps, mc_sims=args.mc)
-    r = bigauss_mixture(jax.random.PRNGKey(args.seed + 1),
-                        np.zeros(1), 0.01 * np.eye(1), np.zeros(1), 10.0 * np.eye(1),
-                        0.8, (args.steps, args.mc))
-    y = 0.05 * x ** 2 + jnp.moveaxis(r, -1, 0)
+    # data-generating system (tpq_ungm.py:39-55): BOTH noises are 80/20
+    # Gaussian mixtures — process glint N(0,10)/N(0,100), measurement glint
+    # N(0,0.01)/N(0,1)
+    zeros = (np.zeros(1), np.zeros(1))
+    w8020 = np.array([0.8, 0.2])
+    q_mix = GaussianMixtureRV.create(1, zeros, (10.0 * np.eye(1), 100.0 * np.eye(1)), w8020)
+    r_mix = GaussianMixtureRV.create(1, zeros, (0.01 * np.eye(1), 1.0 * np.eye(1)), w8020)
+    dyn_data = UNGMTransition.create(GaussRV.create(1, cov=1.0), q_mix)
+    obs_data = UNGMMeasurement.create(r_mix, dim_state=1)
+    x = dyn_data.simulate_discrete(jax.random.PRNGKey(args.seed),
+                                   steps=args.steps, mc_sims=args.mc)
+    y = obs_data.simulate_measurements(jax.random.PRNGKey(args.seed + 1), x)
 
-    # filter models: Student approximations of the noises (tpq_ungm.py:62-100)
-    kpar = np.array([[1.0, 1.0]])
+    # Student SSM for the Student filters: moment-matched scales
+    # scale = (nu-2)/nu * cov with nu=4 (tpq_ungm.py:60-66); Gaussian SSM
+    # for the UKF keeps the nominal (non-glint) covariances; kappa=0 point
+    # sets throughout (tpq_ungm.py:86-87)
+    nu_ssm = 4.0
+    mm = (nu_ssm - 2.0) / nu_ssm
+    dyn_s = UNGMTransition.create(StudentRV.create(1, scale=mm * 1.0, dof=nu_ssm),
+                                  StudentRV.create(1, scale=mm * 10.0, dof=nu_ssm))
+    obs_s = UNGMMeasurement.create(StudentRV.create(1, scale=mm * 0.01, dof=nu_ssm),
+                                   dim_state=1)
+
+    # TPQ kernel parameters (tpq_ungm.py:77-78)
+    par_dyn_tp = np.array([[3.0, 1.0]])
+    par_obs_tp = np.array([[3.0, 3.0]])
+
     algs = {"UKF": st.UnscentedKalman(
         UNGMTransition.create(GaussRV.create(1, cov=1.0), GaussRV.create(1, cov=10.0)),
-        UNGMMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1))}
+        UNGMMeasurement.create(GaussRV.create(1, cov=0.01), dim_state=1), kappa=0.0),
+        "FSQ": st.FullySymmetricStudent(dyn_s, obs_s, degree=3, kappa=0.0, dof=4.0)}
 
     for nu in (3.0, 10.0, 500.0):
-        dyn_s = UNGMTransition.create(StudentRV.create(1, dof=4.0),
-                                      StudentRV.create(1, scale=10.0, dof=4.0))
-        obs_s = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0), dim_state=1)
-        if nu == 3.0:
-            algs["FSQ"] = st.FullySymmetricStudent(dyn_s, obs_s, degree=3, dof=4.0)
+        # compat_drop_nu=False: the reference's dof_tp never reaches the TP
+        # model (bqmtran.py:271-272 drops it — its own FIXME at
+        # tpq_ungm.py:89 complains the TPQ rows come out "too similar"),
+        # which would make this sweep three identical rows; we honour the
+        # FUSION-2017 sweep instead
         algs[f"TPQSF-{int(nu)}"] = st.StudentProcessStudent(
-            dyn_s, obs_s, kpar, kpar, dof=4.0, dof_tp=nu, compat_drop_nu=False,
+            dyn_s, obs_s, par_dyn_tp, par_obs_tp, point_par={"kappa": 0.0},
+            dof=4.0, dof_tp=nu, compat_drop_nu=False,
             mc_opts={"num_samples": args.tpq_samples})
 
     df, _ = run_filter_bank(algs, np.asarray(y), np.asarray(x))

@@ -11,50 +11,15 @@ is pure Python-compatible, so we stub the decorator.
 """
 import os
 import sys
-import types
+import types  # noqa: F401 (kept for any residual direct use)
 
-os.environ.setdefault("MPLBACKEND", "Agg")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.refcompat import install  # noqa: E402
 
-# --- numba stub (reference only uses @nb.jit(nopython=True)) ---------------
-numba_stub = types.ModuleType("numba")
-numba_stub.jit = lambda *a, **k: (lambda f: f)
-sys.modules.setdefault("numba", numba_stub)
-
-sys.path.insert(0, "/root/reference")
+install()
 
 import numpy as np  # noqa: E402
-import scipy as sp  # noqa: E402
-
-# --- compat shims for the reference's NumPy<1.20 / SciPy<1.x idioms --------
-if not hasattr(np, "int"):
-    np.int = int  # noqa: NPY001
-if not hasattr(np, "float"):
-    np.float = float
-if not hasattr(np, "bool"):
-    np.bool = bool
-if not hasattr(np, "asscalar"):
-    np.asscalar = lambda a: np.asarray(a).item()
-if not hasattr(sp, "log10"):
-    sp.log10 = np.log10
-if not hasattr(np.linalg, "linalg"):  # np.linalg.linalg.LinAlgError in utils.py:429
-    np.linalg.linalg = np.linalg
-
-# SciPy >= 1.11 changed factorial2(n<0) to return 0; the reference's BSQ
-# polynomial expectations rely on the historical convention (-1)!! = 1
-# (Gaussian moment E[x^0] = (0-1)!!).  Restore the published behaviour so the
-# goldens reflect the reference as it was developed.
-import scipy.special as _sps  # noqa: E402
-
-_orig_factorial2 = _sps.factorial2
-
-
-def _factorial2_compat(n, exact=False):
-    if np.ndim(n) == 0 and int(n) <= 0:
-        return 1 if exact else 1.0
-    return _orig_factorial2(n, exact=exact)
-
-
-_sps.factorial2 = _factorial2_compat
+import scipy as sp  # noqa: E402,F401
 
 from ssmtoybox.ssmod import (  # noqa: E402
     UNGMTransition, UNGMNATransition, UNGMMeasurement, UNGMNAMeasurement,
