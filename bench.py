@@ -242,13 +242,17 @@ def baseline_numpy(y_ungm, y_reentry):
     return t_base_ungm + t_base_re + t_base_ungm
 
 
-def _probe_backend(timeout_s: int = 120) -> None:
+def _probe_backend(timeout_s: int = 120, attempts: int = 3) -> None:
     """Fail fast if the TPU backend hangs instead of initializing.
 
     When this image's axon TPU tunnel is down, jax backend init BLOCKS
     indefinitely (observed: >9 min at load ~0) rather than erroring; probe
     device discovery in a disposable subprocess so a dead tunnel turns into
     a loud rc=2 instead of an eternal hang of the whole bench run.
+
+    The tunnel can FLAP within a run window (MULTICHIP/BENCH r02 both hit
+    a down phase), so a single failed probe must not zero the round's perf
+    artifact: retry with backoff before giving up.
     """
     import os
     import subprocess
@@ -259,17 +263,25 @@ def _probe_backend(timeout_s: int = 120) -> None:
         # (sitecustomize imports jax at interpreter start), and a CPU run
         # needs no tunnel
         code = ("import jax; jax.config.update('jax_platforms', 'cpu'); " + code)
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        log(f"FATAL: jax backend init did not complete within {timeout_s}s "
-            "— TPU tunnel down? (jax.devices() hangs)")
-        sys.exit(2)
-    if out.returncode != 0:
-        log("FATAL: jax backend init failed:", out.stderr.strip()[-2000:])
-        sys.exit(2)
-    log("backend probe:", out.stdout.strip())
+    last_err = None
+    for attempt in range(1, attempts + 1):
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True, timeout=timeout_s)
+            if out.returncode == 0:
+                log("backend probe:", out.stdout.strip())
+                return
+            last_err = "jax backend init failed: " + out.stderr.strip()[-2000:]
+        except subprocess.TimeoutExpired:
+            last_err = (f"jax backend init did not complete within {timeout_s}s "
+                        "— TPU tunnel down? (jax.devices() hangs)")
+        log(f"backend probe attempt {attempt}/{attempts} failed: {last_err}")
+        if attempt < attempts:
+            backoff = 30 * attempt
+            log(f"retrying in {backoff}s ...")
+            time.sleep(backoff)
+    log("FATAL:", last_err)
+    sys.exit(2)
 
 
 def main():

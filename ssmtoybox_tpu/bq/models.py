@@ -747,7 +747,9 @@ class GaussianProcessMO(MultiOutputModel):
         y_dot_a = jnp.sum(fcn_obs * a)
         return jnp.sum(jnp.log(jnp.diag(L))) + 0.5 * (y_dot_a + num_data * jnp.log(2.0 * jnp.pi))
 
-    predict = None  # unimplemented in the reference (``bqmod.py:1509-1530``)
+    def predict(self, *args, **kwargs):
+        raise NotImplementedError(
+            "MO predict unimplemented (parity: bqmod.py:1509-1530)")
 
 
 class StudentTProcessMO(MultiOutputModel):
@@ -786,4 +788,6 @@ class StudentTProcessMO(MultiOutputModel):
                  + gammaln(0.5 * nu + num_data) - gammaln(0.5 * nu))
         return 0.5 * (nu + num_data) * jnp.log1p(y_dot_a) + half_logdet_K + const
 
-    predict = None
+    def predict(self, *args, **kwargs):
+        raise NotImplementedError(
+            "MO predict unimplemented (parity: bqmod.py:1509-1530)")

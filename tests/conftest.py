@@ -64,6 +64,31 @@ import pytest  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
+#: Curated ~2-minute smoke profile (``pytest -m smoke``): one representative
+#: test per subsystem — golden filter parity, BQ weight build + transform,
+#: square-root step, sharded mesh filter, point sets, simulators, Pallas and
+#: native kernels.  Patterns are substring-matched against node ids so the
+#: list lives in one place instead of scattered marks.
+_SMOKE_PATTERNS = (
+    "test_parity.py::test_ungm_filter_parity",
+    "test_parity.py::test_gp_weights_parity",
+    "test_bq.py::TestGPModel::test_weight_shapes",
+    "test_bq.py::TestTransforms",
+    "test_sqrt.py::TestSquareRootFilters::test_srukf_matches_ukf_ungm",
+    "test_parallel.py::test_sharded_filter_matches_unsharded",
+    "test_parallel.py::test_graft_entry_points",
+    "test_points_mtran.py::test_gauss_rules_match_gaussian_moments",
+    "test_ssmod_ssinf.py::TestSimulators::test_discrete_shapes",
+    "test_pallas_ops.py::test_vandermonde_matches_jnp",
+    "test_native.py::test_vandermonde_matches_python",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in _SMOKE_PATTERNS):
+            item.add_marker(pytest.mark.smoke)
+
 
 def _rss_gb() -> float:
     """Current resident set size in GB (linux)."""
