@@ -14,11 +14,31 @@ classical sigma-point rule — which
 * needs only triangular solves in the gain computation.
 
 Supported: classical sigma-point transforms (vector ``wm``, diagonal ``Wc``:
-SR/UT/GH/FS rules) with additive noise on both models.  Negative covariance
-weights (UT with ``kappa < 0``) are handled with static rank-1 Cholesky
-downdates (:func:`~ssmtoybox_tpu.utils.linalg.cholupdate_small`).  BQ
-transforms carry dense ``Wc`` plus an expected-model-variance term and stay
-on the full-covariance path.
+SR/UT/GH/FS rules) AND single-output BQ transforms (GPQ/BSQ/TPQ), with
+additive noise on both models.  Negative covariance weights (UT with
+``kappa < 0``) are handled with static rank-1 Cholesky downdates
+(:func:`~ssmtoybox_tpu.utils.linalg.cholupdate_small`).
+
+BQ transforms carry a dense covariance-weight matrix ``Wc`` plus an
+expected-model-variance (EMV) term (``bqmtran.py:178-201``), which looks
+square-root-hostile — but the BQ output covariance
+
+``cov_f = fx Wc fx^T - m m^T + emv I``   with  ``m = fx wm``
+
+factors EXACTLY, because ``Wc - wm wm^T = iK (Q - q q^T) iK =
+iK Cov_x[k(x, X)] iK`` is PSD by construction (the weights are moments of
+the posterior weight FUNCTION ``w(x) = iK k(x, X)``: ``wm = E[w]``,
+``Wc = E[w w^T]``).  Factoring the centered weight matrix once at build
+time, ``L_w L_w^T = Wc - wm wm^T``, gives
+
+``cov_f = (fx L_w)(fx L_w)^T + emv I``,
+
+i.e. one QR over the columns ``[fx L_w, sqrt(emv) I, noise]`` — all
+positive terms, no downdates, PD by construction in f32.  The same argument
+covers BSQ (augmented features ``[k(x, X); p(x)]``) and TPQ (GP weights with
+a data-dependent EMV scale, handled in-trace).  BQ smoothing stays on the
+full-covariance path (the joint factorization needs the classical
+shared-deviation structure).
 """
 from __future__ import annotations
 
@@ -31,7 +51,8 @@ from .online import streaming_api
 from .mtran import (SigmaPointTransform, apply_f_columns, SphericalRadialTransform,
                     UnscentedTransform, GaussHermiteTransform,
                     FullySymmetricStudentTransform)
-from .utils.linalg import (cholupdate_small, small_matmul, tri_solve_small, tria)
+from .utils.linalg import (cholupdate_small, small_matmul, small_mm3,
+                           tri_solve_small, tria)
 
 __all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
            "SquareRootKalman", "SqrtOnlineState", "SqrtStepInfo",
@@ -60,10 +81,8 @@ def _rule_arrays(tf, what: str):
     classical sigma-point transform, concretely (trace-time constants)."""
     if not isinstance(tf, SigmaPointTransform):
         raise TypeError(
-            f"square-root filtering needs a classical sigma-point transform for the "
-            f"{what} model (SR/UT/GH/FS rules); got {type(tf).__name__} — BQ "
-            f"transforms carry dense covariance weights and an expected-model-"
-            f"variance term and are only supported on the full-covariance path")
+            f"this square-root component needs a classical sigma-point transform "
+            f"for the {what} model (SR/UT/GH/FS rules); got {type(tf).__name__}")
     xi = np.asarray(tf.unit_sp)
     wm = np.asarray(tf.wm)
     if tf.wc_diag is not None:
@@ -100,6 +119,93 @@ def _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg_idx):
     return S
 
 
+def _transform_core(tf, what: str, cast):
+    """Build the per-transform square-root pieces: trace-time constant unit
+    points + mean weights, a ``factor(fx, dfx, noise_cols) -> S`` covariance
+    factorization and a ``cross(S_in, dX_in, fx, dfx) -> P_xy`` cross-
+    covariance, for classical sigma-point rules and single-output BQ
+    transforms alike.  Returns ``(pts, wm, factor, cross, statics)`` where
+    ``statics`` carries the classical-rule arrays the smoothers' joint
+    factorization needs (``None`` for BQ)."""
+    # local import: transforms.py imports utils/mtran; no cycle, but keep the
+    # classical-only fast path importable without the bq subpackage warm
+    from .bq.transforms import BQTransform, StudentTProcessTransform
+
+    if isinstance(tf, SigmaPointTransform):
+        xi, wm, wc, neg = _rule_arrays(tf, what)
+        xi_, wm_, wc_ = cast(xi), cast(wm), cast(wc)
+        sqrt_pos = cast(np.sqrt(np.clip(wc, 0.0, None)))[None, :]
+
+        def factor(fx, dfx, noise_cols):
+            return _sqrt_from_deviations(dfx, sqrt_pos, noise_cols, wc, neg)
+
+        def cross(S_in, dX_in, fx, dfx):
+            return small_matmul(dX_in * wc_[None, :], jnp.swapaxes(dfx, -1, -2))
+
+        statics = dict(sqrt_pos_d=sqrt_pos, wc_d=wc, neg_d=neg,
+                       xi_d=xi, wc_d_np=wc)
+        return xi_, wm_, factor, cross, statics
+
+    if isinstance(tf, BQTransform):
+        pts = np.asarray(tf.model.points)
+        wm = np.asarray(tf.wm)
+        # centered covariance-weight factor: Wc - wm wm^T = iK Cov[kx] iK is
+        # PSD by construction (see module docstring); eigh-clip absorbs the
+        # tiny negative eigenvalues f64 round-off leaves on singular rules
+        C = np.asarray(tf.Wc) - np.outer(wm, wm)
+        C = (C + C.T) / 2.0
+        s, v = np.linalg.eigh(C)
+        L_w = v * np.sqrt(np.clip(s, 0.0, None))[None, :]
+        Wcc = np.asarray(tf.Wcc)                        # (D, N), = R iK
+        # EMV >= 0 in any sane configuration; clip so a slightly negative
+        # trace residual (1 - tr(Q iK) < 0) degrades to "no inflation"
+        # instead of a NaN column (full-covariance path would subtract it)
+        emv = float(np.clip(np.asarray(tf.model_var), 0.0, None))
+        pts_, wm_, Wcc_ = cast(pts), cast(wm), cast(Wcc)
+        L_w_ = cast(L_w)
+        sqrt_emv = cast(np.sqrt(emv))
+
+        if isinstance(tf, StudentTProcessTransform):
+            # TPQ: data-dependent EMV scale (nu-2 + f iK f^T)/(nu-2 + N)
+            # (``bqmod.py:1129-1160``) — computed in-trace from fx
+            iK_ = cast(np.asarray(tf.iK))
+            nu = float(tf.model.nu)
+            num_pts = float(tf.model.num_pts)
+
+            def emv_cols(fx):
+                e = fx.shape[-2]
+                fe = fx
+                scale_d = (nu - 2.0 + jnp.einsum("...en,nm,...em->...e", fe, iK_, fe)
+                           ) / (nu - 2.0 + num_pts)
+                se = jnp.sqrt(jnp.clip(scale_d, 0.0) * (sqrt_emv ** 2))
+                return se[..., None, :] * jnp.eye(e, dtype=fx.dtype)
+        else:
+            def emv_cols(fx):
+                e = fx.shape[-2]
+                return sqrt_emv * jnp.eye(e, dtype=fx.dtype)
+
+        def factor(fx, dfx, noise_cols):
+            cols = jnp.concatenate(
+                [small_matmul(fx, L_w_),
+                 emv_cols(fx) + jnp.zeros(fx.shape[:-2] + (1, 1), fx.dtype),
+                 noise_cols], axis=-1)
+            return _qr_factor(cols)
+
+        def cross(S_in, dX_in, fx, dfx):
+            # reference cross-covariance is UNCENTERED: chol R iK fx^T
+            # (``bqmtran.py:219-224``); E[xi] = 0 makes the mean term vanish
+            # analytically, so parity with the full path holds to round-off
+            return small_mm3(S_in, Wcc_, jnp.swapaxes(fx, -1, -2))
+
+        return pts_, wm_, factor, cross, None
+
+    raise TypeError(
+        f"square-root filtering needs a classical sigma-point transform or a "
+        f"single-output BQ transform for the {what} model; got {type(tf).__name__} "
+        f"— multi-output BQ transforms carry per-output weight tensors and are "
+        f"only supported on the full-covariance path")
+
+
 def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     """Validate the configuration and build the shared square-root step core.
 
@@ -113,8 +219,11 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
             "square-root filtering currently supports additive-noise models; "
             "non-additive models need the augmented-state full-covariance path")
 
-    xi_d, wm_d, wc_d, neg_d = _rule_arrays(tf_dyn, "dynamics")
-    xi_o, wm_o, wc_o, neg_o = _rule_arrays(tf_obs, "measurement")
+    def cast(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    pts_d, wm_d_, factor_d, _, statics_d = _transform_core(tf_dyn, "dynamics", cast)
+    pts_o, wm_o_, factor_o, cross_o, _ = _transform_core(tf_obs, "measurement", cast)
 
     q_cov = np.asarray(mod_dyn.noise_rv.get_stats()[1])
     r_cov = np.asarray(mod_obs.noise_rv.get_stats()[1])
@@ -124,32 +233,24 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     m0_np, P0_np = (np.asarray(a) for a in mod_dyn.init_rv.get_stats()[:2])
     S0_np = _psd_chol(P0_np)
     dim_y = r_cov.shape[0]
-
-    def cast(a):
-        return jnp.asarray(a, dtype=dtype)
-
-    xi_d_, xi_o_, Sq_, Sr_ = cast(xi_d), cast(xi_o), cast(Sq), cast(Sr)
-    wm_d_, wm_o_ = cast(wm_d), cast(wm_o)
-    wc_o_ = cast(wc_o)
-    sqrt_pos_d = cast(np.sqrt(np.clip(wc_d, 0.0, None)))[None, :]
-    sqrt_pos_o = cast(np.sqrt(np.clip(wc_o, 0.0, None)))[None, :]
+    Sq_, Sr_ = cast(Sq), cast(Sr)
 
     def time_dev(m, S, k):
         """Propagate sigma points; returns the predicted mean and the
         input/propagated deviations (no factorization — the smoother gets
         ``S_pr`` as the leading block of its joint factorization instead)."""
-        dX_in = small_matmul(S, xi_d_)
+        dX_in = small_matmul(S, pts_d)
         X = m[:, None] + dX_in
         # model parameters may live in f64; pin the recursion's dtype
         fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
         m_pr = small_matmul(fX, wm_d_)
         dfx = fX - m_pr[:, None]
-        return m_pr, dfx, dX_in
+        return m_pr, fX, dfx, dX_in
 
     def time_core(m, S, k):
         """Factor-form time update."""
-        m_pr, dfx, dX_in = time_dev(m, S, k)
-        S_pr = _sqrt_from_deviations(dfx, sqrt_pos_d, Sq_, wc_d, neg_d)
+        m_pr, fX, dfx, dX_in = time_dev(m, S, k)
+        S_pr = factor_d(fX, dfx, Sq_)
         return m_pr, S_pr, dfx, dX_in
 
     def meas_core(m_pr, S_pr, y, k):
@@ -158,13 +259,13 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         (``ssinf._gaussian_time_update`` applies both models at ``time=k-1``,
         the reference convention), so time-dependent measurement models see
         identical stamps on both paths."""
-        dX = small_matmul(S_pr, xi_o_)
+        dX = small_matmul(S_pr, pts_o)
         Xp = m_pr[:, None] + dX
         hX = apply_f_columns(mod_obs.meas_eval, Xp, k - 1).astype(S_pr.dtype)
         y_pr = small_matmul(hX, wm_o_)
         dhx = hX - y_pr[:, None]
-        S_yy = _sqrt_from_deviations(dhx, sqrt_pos_o, Sr_, wc_o, neg_o)
-        P_xy = small_matmul(dX * wc_o_[None, :], jnp.swapaxes(dhx, -1, -2))
+        S_yy = factor_o(hX, dhx, Sr_)
+        P_xy = cross_o(S_pr, dX, hX, dhx)
         # K = P_xy (S_yy S_yy^T)^-1 via two triangular substitutions
         B = tri_solve_small(S_yy, jnp.swapaxes(P_xy, -1, -2), lower=True)
         C = tri_solve_small(jnp.swapaxes(S_yy, -1, -2), B, lower=False)
@@ -181,10 +282,10 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
         return m_pr, S_pr, y_pr, S_yy, m_fi, S_fi
 
-    statics = dict(sqrt_pos_d=sqrt_pos_d, Sq=Sq_, wc_d=wc_d, neg_d=neg_d,
-                   xi_d=xi_d, wc_d_np=wc_d)
+    statics = dict(statics_d or {}, Sq=Sq_)
     cores = dict(step=step_core, time=time_core, time_dev=time_dev,
-                 meas=meas_core, statics=statics)
+                 meas=meas_core, statics=statics,
+                 classical_dyn=statics_d is not None)
     return cores, cast, m0_np, S0_np, dim_y
 
 
@@ -296,6 +397,12 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     """
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    if not cores["classical_dyn"]:
+        raise TypeError(
+            "square-root smoothing requires a classical sigma-point rule for "
+            "the dynamics (the joint factorization needs shared input/output "
+            "deviations); BQ dynamics transforms are filter-only here — use "
+            "the full-covariance smoother")
     time_dev, meas_core = cores["time_dev"], cores["meas"]
     dim = S0_np.shape[0]
     _check_identity_reconstruction(cores["statics"], dim)
@@ -311,7 +418,7 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         def fstep(carry, inp):
             m, S = carry
             y, k = inp
-            m_pr, dfx, dX_in = time_dev(m, S, k)
+            m_pr, _, dfx, dX_in = time_dev(m, S, k)
             S_pr, G, R22 = joint_factor(dfx, dX_in)
             _, _, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
             return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi, G, R22)
@@ -400,6 +507,13 @@ class SquareRootKalman:
     ``forward_pass`` returns ``(fi_mean, fi_cov)`` with ``fi_cov``
     reconstituted as ``S S^T`` for drop-in comparison.  Pass
     ``dtype=jnp.float32`` for the TPU fast path.
+
+    BQ filtering in factor form: pass prebuilt transforms instead of a rule
+    string, e.g. ``SquareRootKalman(dyn, obs,
+    tf_dyn=GaussianProcessTransform.create(...), tf_obs=...)`` — the f32
+    square-root twin of ``GaussianProcessKalman``/``BayesSardKalman``/
+    ``StudentProcessKalman`` (filtering only; BQ smoothing stays on the
+    full-covariance path).
     """
 
     SUPPORTED_POINTS = ("sr", "ut", "gh", "fs")
@@ -418,10 +532,16 @@ class SquareRootKalman:
         raise ValueError(f"unsupported point set {points!r}; choose from "
                          f"{SquareRootKalman.SUPPORTED_POINTS}")
 
-    def __init__(self, dyn, obs, points: str = "ut", point_hyp=None, dtype=None):
+    def __init__(self, dyn, obs, points: str = "ut", point_hyp=None, dtype=None,
+                 tf_dyn=None, tf_obs=None):
+        if (tf_dyn is None) != (tf_obs is None):
+            raise ValueError("pass both tf_dyn and tf_obs, or neither")
         self.mod_dyn, self.mod_obs = dyn, obs
-        self.tf_dyn = self._make_rule(points, dyn.dim_in, point_hyp)
-        self.tf_obs = self._make_rule(points, obs.dim_in, point_hyp)
+        if tf_dyn is not None:
+            self.tf_dyn, self.tf_obs = tf_dyn, tf_obs
+        else:
+            self.tf_dyn = self._make_rule(points, dyn.dim_in, point_hyp)
+            self.tf_obs = self._make_rule(points, obs.dim_in, point_hyp)
         self._filter = make_sqrt_filter(dyn, obs, self.tf_dyn, self.tf_obs, dtype=dtype)
         self._dtype = dtype
         self._smoother = None
@@ -489,6 +609,11 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
                          f"(lag=1 is plain filtering — use make_online_sqrt_filter)")
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
+    if not cores["classical_dyn"]:
+        raise TypeError(
+            "fixed-lag square-root smoothing requires a classical sigma-point "
+            "rule for the dynamics (the joint factorization needs shared "
+            "input/output deviations); BQ dynamics transforms are filter-only")
     time_dev, meas_core = cores["time_dev"], cores["meas"]
     dim = S0_np.shape[0]
     _check_identity_reconstruction(cores["statics"], dim)
@@ -513,7 +638,7 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
 
     def _one(state: FixedLagSqrtState, y, observed):
         k = state.step
-        m_pr, dfx, dX_in = time_dev(state.mean, state.sqrt, k)
+        m_pr, _, dfx, dX_in = time_dev(state.mean, state.sqrt, k)
         S_pr, G, R22 = joint_factor(dfx, dX_in)
         y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
         m_new = jnp.where(observed, m_fi, m_pr)

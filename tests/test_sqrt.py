@@ -168,6 +168,83 @@ class TestSqrtParity:
         assert rel < 1e-2
 
 
+class TestSqrtBQ:
+    """BQ filtering in factor form: cov_f = fx (Wc - wm wm^T) fx^T + emv I
+    factors exactly (the centered weight matrix is iK Cov[kx] iK, PSD by
+    construction), so GPQ/BSQ/TPQ run square-root too (sqrt.py module doc)."""
+
+    @staticmethod
+    def _mk_tf(kind, dim_in, dim_out, kp):
+        from ssmtoybox_tpu.bq.transforms import (
+            GaussianProcessTransform, BayesSardTransform, StudentTProcessTransform)
+        if kind == "gpq":
+            return GaussianProcessTransform.create(dim_in, dim_out, kp, point_str="ut")
+        if kind == "bsq":
+            return BayesSardTransform.create(dim_in, dim_out, kp, multi_ind=2,
+                                             point_str="ut")
+        return StudentTProcessTransform.create(dim_in, dim_out, kp, point_str="ut")
+
+    @pytest.mark.parametrize("kind", ["gpq", "bsq", "tpq"])
+    def test_sqrt_bq_matches_full_f64(self, ungm, kind):
+        dyn, obs, x, y = ungm
+        kp = np.array([[1.0, 3.0]])
+        tfd, tfo = self._mk_tf(kind, 1, 1, kp), self._mk_tf(kind, 1, 1, kp)
+        res = st.ssinf.gaussian_filter(dyn, obs, tfd, tfo, y[..., 0])
+        sm, sc = SquareRootKalman(dyn, obs, tf_dyn=tfd, tf_obs=tfo).forward_pass(y[..., 0])
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(res.fi_mean),
+                                   atol=1e-8, err_msg=kind)
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(res.fi_cov),
+                                   atol=1e-8, err_msg=kind)
+
+    def test_f32_gpq_reentry_stays_pd_and_tracks_f64(self, reentry):
+        from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+        dyn, obs, x, y = reentry
+        kp = np.array([[1.0, 25, 25, 25, 25, 25]])          # gpq_tracking.py:50
+        tfd = GaussianProcessTransform.create(5, 5, kp, point_str="ut")
+        tfo = GaussianProcessTransform.create(5, 2, kp, point_str="ut")
+        res = st.ssinf.gaussian_filter(dyn, obs, tfd, tfo, y[..., 0])
+        srk = SquareRootKalman(dyn, obs, tf_dyn=tfd, tf_obs=tfo, dtype=jnp.float32)
+        m32, P32 = srk.forward_pass(y[..., 0])
+        assert m32.dtype == jnp.float32
+        d = np.asarray(srk._result.fi_sqrt)[np.arange(5), np.arange(5), :]
+        assert np.isfinite(np.asarray(m32)).all()
+        assert (d > 0).all(), "BQ factor lost positive-definiteness in f32"
+        fm = np.asarray(res.fi_mean)
+        rel = np.abs(np.asarray(m32) - fm).max() / np.abs(fm).max()
+        assert rel < 1e-2
+
+    def test_bq_smoothing_rejected(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn, obs, _, y = ungm
+        kp = np.array([[1.0, 3.0]])
+        tfd, tfo = self._mk_tf("gpq", 1, 1, kp), self._mk_tf("gpq", 1, 1, kp)
+        with pytest.raises(TypeError, match="classical sigma-point rule"):
+            make_sqrt_smoother(dyn, obs, tfd, tfo)
+
+    def test_mo_transform_rejected(self, ungm):
+        from ssmtoybox_tpu.bq.transforms import MultiOutputGaussianProcessTransform
+        dyn, obs, _, y = ungm
+        mo = MultiOutputGaussianProcessTransform.create(1, 1, np.array([[1.0, 3.0]]))
+        with pytest.raises(TypeError, match="full-covariance path"):
+            make_sqrt_filter(dyn, obs, mo, mo)
+
+    def test_online_sqrt_bq_matches_offline(self, ungm):
+        from ssmtoybox_tpu.sqrt import make_online_sqrt_filter
+        dyn, obs, _, y = ungm
+        kp = np.array([[1.0, 3.0]])
+        tfd, tfo = self._mk_tf("gpq", 1, 1, kp), self._mk_tf("gpq", 1, 1, kp)
+        srf = SquareRootKalman(dyn, obs, tf_dyn=tfd, tf_obs=tfo)
+        off = srf._filter(y[..., 0])
+        init, step = make_online_sqrt_filter(dyn, obs, tfd, tfo, donate=False)
+        state = init()
+        ms = []
+        for k in range(y.shape[-2]):
+            state, _ = step(state, y[:, k, 0])
+            ms.append(np.asarray(state.mean))
+        np.testing.assert_allclose(np.stack(ms, -1), np.asarray(off.fi_mean),
+                                   atol=1e-10)
+
+
 class TestSqrtSmoother:
     def test_matches_textbook_rts_ungm(self, ungm):
         from ssmtoybox_tpu.sqrt import make_sqrt_smoother
@@ -265,12 +342,15 @@ class TestOnlineSqrt:
 
 
 class TestSqrtValidation:
-    def test_rejects_bq_transform(self, ungm):
+    def test_rejects_unknown_transform(self, ungm):
+        """Single-output BQ transforms are now square-root SUPPORTED
+        (TestSqrtBQ); anything that is neither classical nor BQ must still
+        fail loudly."""
         dyn, obs, _, _ = ungm
-        from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
-        gpt = GaussianProcessTransform.create(1, 1, np.array([[1.0, 3.0]]), point_str="ut")
-        with pytest.raises(TypeError, match="full-covariance"):
-            make_sqrt_filter(dyn, obs, gpt, gpt)
+        from ssmtoybox_tpu.mtran import MonteCarloTransform
+        mc = MonteCarloTransform.create(1, n=10)
+        with pytest.raises(TypeError, match="square-root"):
+            make_sqrt_filter(dyn, obs, mc, mc)
 
     def test_rejects_nonadditive(self):
         dyn = UNGMNATransition.create(GaussRV.create(1, cov=1.0),
