@@ -211,10 +211,13 @@ class RBFStudent(RBFGauss):
     (measured 98x/38x faster on one chip than the emulated-f64 scans;
     elsewhere Pallas would run in its interpreter — orders of magnitude
     slower than the jnp scan, so ``use_pallas=True`` only *permits* the
-    kernels and the backend decides at trace time).  Build with
-    ``use_pallas=False`` for the differentiable jnp scan path everywhere
-    (the Pallas calls have no autodiff rule), or ``use_pallas='force'`` to
-    run the Pallas kernels in interpret mode off-TPU (kernel-logic tests).
+    kernels and the backend decides at trace time).  The fused
+    ``exp_x_qRQ`` path is DIFFERENTIABLE (``jax.custom_vjp``; the backward
+    pass is a second fused kernel over the same sample stream), so
+    ``jax.grad`` through it works on TPU.  ``exp_xy_kxy``'s Pallas path has
+    no autodiff rule — build with ``use_pallas=False`` for the
+    differentiable jnp scan everywhere, or ``use_pallas='force'`` to run
+    the Pallas kernels in interpret mode off-TPU (kernel-logic tests).
     BQ WEIGHTS never go through the raw
     expectations: ``bq_weights`` uses :meth:`projected_weight_stats`, whose
     weight-space accumulation is immune to the ``1/lambda_min(K)^2`` error
@@ -323,8 +326,10 @@ class RBFStudent(RBFGauss):
         NOTE: raw expectations are not weight-grade on ill-conditioned
         parameters — ``bq_weights`` goes through
         :meth:`projected_weight_stats` instead, which tolerates arbitrary
-        ``lambda_min(K)``.  Off-TPU (or with ``use_pallas=False``) falls
-        back to the differentiable scan composition."""
+        ``lambda_min(K)``.  Differentiable on both paths: the Pallas call
+        carries a custom VJP (fused backward kernel over the same sample
+        stream); off-TPU (or with ``use_pallas=False``) falls back to the
+        differentiable scan composition."""
         if not self._pallas_on():
             return super().exp_x_qRQ(par, x)
         from ..ops.pallas_ops import student_expectations

@@ -37,10 +37,14 @@ solve amplifies unstructured error by ``1/lambda_min(K)^2`` (~1e16 on the
 FUSION-2017 Student-study parameters).  The weight path therefore never
 composes ``iK Q iK`` from these outputs; it accumulates directly in weight
 space (``RBFStudent.projected_weight_stats``).  Off-TPU the same kernels
-run in interpret mode; the Student kernels are NOT differentiable (no
-pallas autodiff rule) — callers needing ``jax.grad`` through rbf-student
-expectations build the kernel with ``RBFStudent.create(...,
-use_pallas=False)`` to get the differentiable jnp scan path.
+run in interpret mode.  :func:`student_expectations` is DIFFERENTIABLE
+(``jax.custom_vjp`` w.r.t. the kernel parameters and sigma-points): the
+expectation gradients are MC averages over the same sample stream, so the
+backward pass is a second fused kernel replaying the saved samples
+(:func:`_student_qRQ_bwd_kernel`) under the same per-chunk-f32/f64-reduce
+precision contract.  :func:`student_kxy` has no autodiff rule — callers
+needing gradients of the integral variance use the jnp scan path
+(``RBFStudent.create(..., use_pallas=False)``).
 """
 from __future__ import annotations
 
@@ -107,6 +111,15 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
     evaluating the Gram matrix, ``bqkern.py:476-524``) — one sample stream,
     one Gram evaluation, three reductions.
 
+    DIFFERENTIABLE: carries a ``jax.custom_vjp`` w.r.t. ``par`` (the
+    lengthscales; the unscaled expectations do not depend on the scale
+    ``par[0]``) and ``x``.  The parameter gradients of the three
+    expectations are themselves MC averages over the SAME sample stream
+    (the integrand is smooth in the parameters), so the backward pass is a
+    second fused kernel replaying the saved samples — see
+    :func:`_student_qRQ_bwd_kernel`.  The samples are treated as MC
+    constants (no gradient flows into the PRNG key).
+
     Parameters
     ----------
     par : (1, D+1) kernel parameters ``[s, l_1..l_D]`` (expectations are
@@ -123,11 +136,8 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    par = jnp.asarray(par).reshape(-1)
-    ell = par[1:]
+    x = jnp.asarray(x)
     d, n = x.shape
-    in_dtype = x.dtype
-
     dp = _round_up(max(d, 1), 8)
     np_pad = _round_up(max(n, 1), 128)
     # a sample budget below one chunk would otherwise silently draw a full
@@ -136,11 +146,29 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
     num_chunks = max(num_samples // chunk, 1)
     total = num_chunks * chunk
 
-    # samples (f32): Student-t via the Gamma-mixture construction
-    samples = multivariate_t(key, jnp.zeros(d, jnp.float32), jnp.eye(d, dtype=jnp.float32),
-                             dof, (total,))                     # (S, D)
-    xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
+    # samples (f32): Student-t via the Gamma-mixture construction; MC
+    # constants as far as autodiff is concerned
+    samples = jax.lax.stop_gradient(
+        multivariate_t(key, jnp.zeros(d, jnp.float32),
+                       jnp.eye(d, dtype=jnp.float32), dof, (total,)))   # (S, D)
+    return _student_qRQ(dp, np_pad, chunk, bool(interpret),
+                        jnp.asarray(par), x, samples)
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _student_qRQ(dp, np_pad, chunk, interpret, par, x, samples):
+    """(q, R, Q) from a fixed sample stream; differentiable in par and x."""
+    return _student_qRQ_fwd_impl(dp, np_pad, chunk, interpret, par, x, samples)
+
+
+def _student_qRQ_fwd_impl(dp, np_pad, chunk, interpret, par, x, samples):
+    ell = jnp.asarray(par).reshape(-1)[1:]
+    d, n = x.shape
+    in_dtype = x.dtype
+    total = samples.shape[0]
+    num_chunks = total // chunk
+
+    xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
     # points padded FAR away so padded columns contribute exactly zero
     xp = jnp.full((np_pad, dp), 1e3, jnp.float32).at[:n, :d].set(x.T.astype(jnp.float32))
     inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
@@ -161,6 +189,113 @@ def student_expectations(par, x, dof: float, num_samples: int = 2_000_000,
     r_out = (jnp.sum(r_c.astype(acc_t), axis=0)[:d, :n] * inv_total).astype(in_dtype)
     Q_out = (jnp.sum(Q_c.astype(acc_t), axis=0)[:n, :n] * inv_total).astype(in_dtype)
     return q_out, r_out, Q_out
+
+
+def _student_qRQ_fwd(dp, np_pad, chunk, interpret, par, x, samples):
+    out = _student_qRQ_fwd_impl(dp, np_pad, chunk, interpret, par, x, samples)
+    return out, (par, x, samples)
+
+
+def _student_qRQ_bwd_kernel(inv_l_ref, xs_ref, xp_ref, gq_ref, gR_ref, gQ2_ref,
+                            cs_ref, B_ref, u_ref):
+    """One grid step of the VJP: re-evaluate the chunk's Gram tile, fold the
+    output cotangents into a per-(sample, point) weight
+
+        W[s, n] = gq[n] + sum_d gR[d, n] xs[s, d] + sum_m (gQ + gQ^T)[n, m] k[s, m]
+
+    (the coefficient of ``dk[s, n]`` in ``<g, d(q, R, Q)>``), and reduce the
+    weighted Gram ``M = W * k`` to the three per-chunk partials the host
+    needs to assemble d/dx and d/dl of the RBF exponent
+    ``-0.5 ||(x_s - x_n)/l||^2``:
+
+        cs[n] = sum_s M[s, n]                (weight mass per point)
+        B[d, n] = sum_s xs[s, d] M[s, n]     (first sample moment)
+        u[d]   = sum_{s, n} xs[s, d]^2 M[s, n]  (second sample moment)
+
+    Per-chunk f32 partials, reduced in f64 outside — the same precision
+    contract as the forward (see :func:`_student_exp_kernel`).  ``u`` is
+    broadcast across a 128-lane output block to satisfy the TPU tile shape.
+    """
+    xs = xs_ref[:]
+    xp = xp_ref[:]
+    inv_l = inv_l_ref[:]
+    s = xs * inv_l
+    p = xp * inv_l
+    s2 = jnp.sum(s * s, axis=1, keepdims=True)
+    p2 = jnp.sum(p * p, axis=1, keepdims=True).T
+    k = jnp.exp(-0.5 * (s2 + p2) + jnp.dot(s, p.T, preferred_element_type=jnp.float32))
+    W = (gq_ref[:]
+         + jnp.dot(xs, gR_ref[:], preferred_element_type=jnp.float32)
+         + jnp.dot(k, gQ2_ref[:], preferred_element_type=jnp.float32))
+    M = W * k
+    cs_ref[0, 0, :] = jnp.sum(M, axis=0)
+    B_ref[0, :, :] = jnp.dot(xs.T, M, preferred_element_type=jnp.float32)
+    rowsum = jnp.sum(M, axis=1, keepdims=True)                      # (C, 1)
+    u = jnp.sum(xs * xs * rowsum, axis=0)                           # (Dp,)
+    u_ref[0, :, :] = u[:, None] * jnp.ones((1, 128), jnp.float32)
+
+
+def _student_qRQ_bwd(dp, np_pad, chunk, interpret, res, ct):
+    par, x, samples = res
+    gq, gR, gQ = ct
+    d, n = x.shape
+    total = samples.shape[0]
+    num_chunks = total // chunk
+    par_arr = jnp.asarray(par)
+    ell = par_arr.reshape(-1)[1:]
+
+    xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
+    xp = jnp.full((np_pad, dp), 1e3, jnp.float32).at[:n, :d].set(x.T.astype(jnp.float32))
+    inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
+    gq_p = jnp.zeros((1, np_pad), jnp.float32).at[0, :n].set(gq.astype(jnp.float32))
+    gR_p = jnp.zeros((dp, np_pad), jnp.float32).at[:d, :n].set(gR.astype(jnp.float32))
+    gQ2 = gQ + gQ.T
+    gQ2_p = jnp.zeros((np_pad, np_pad), jnp.float32).at[:n, :n].set(gQ2.astype(jnp.float32))
+
+    with jax.enable_x64(False):
+        cs_c, B_c, u_c = pl.pallas_call(
+            _student_qRQ_bwd_kernel,
+            grid=(num_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((np_pad, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((dp, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((np_pad, np_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dp, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dp, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((num_chunks, 1, np_pad), jnp.float32),
+                jax.ShapeDtypeStruct((num_chunks, dp, np_pad), jnp.float32),
+                jax.ShapeDtypeStruct((num_chunks, dp, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(inv_l, xs, xp, gq_p, gR_p, gQ2_p)
+
+    acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    inv_total = 1.0 / total
+    cs = jnp.sum(cs_c.astype(acc_t), axis=0)[0, :n]                 # (N,)
+    B = jnp.sum(B_c.astype(acc_t), axis=0)[:d, :n]                  # (D, N)
+    u = jnp.sum(u_c.astype(acc_t), axis=0)[:d, 0]                   # (D,)
+
+    xn = x.astype(acc_t)
+    ell_a = ell.astype(acc_t)
+    # d exponent / dx[d, n] = (xs - xn) / l^2; / dl[d] = (xs - xn)^2 / l^3
+    x_bar = ((B - xn * cs[None, :]) / (ell_a ** 2)[:, None]) * inv_total
+    l_bar = ((u - 2.0 * jnp.sum(B * xn, axis=1) + jnp.sum(xn * xn * cs[None, :], axis=1))
+             / ell_a ** 3) * inv_total
+    par_bar = (jnp.concatenate([jnp.zeros((1,), acc_t), l_bar])
+               .reshape(par_arr.shape).astype(par_arr.dtype))
+    # samples are MC constants (stop_gradient'ed before entry)
+    return par_bar, x_bar.astype(x.dtype), jnp.zeros_like(samples)
+
+
+_student_qRQ.defvjp(_student_qRQ_fwd, _student_qRQ_bwd)
 
 
 def _student_pallas_call(grid, dp, np_pad, chunk, interpret, inv_l, xs, xp):

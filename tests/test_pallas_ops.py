@@ -40,3 +40,66 @@ def test_student_expectations_multidim():
     np.testing.assert_allclose(r, kern.exp_x_xkx(par, x), atol=8e-3)
     np.testing.assert_allclose(Q, kern.exp_x_kxkx(par, par, x), atol=8e-3)
     np.testing.assert_allclose(Q, Q.T, atol=1e-6)
+
+
+def test_student_expectations_vjp_exact_on_same_samples():
+    """The custom VJP must match jax.grad of an exact f64 replica of the
+    same computation on the IDENTICAL sample stream — this isolates the
+    backward-kernel math from MC noise (only f32-kernel rounding remains)."""
+    from ssmtoybox_tpu.utils.rand import multivariate_t
+    d, n, dof = 2, 5, 4.0
+    num_samples, chunk = 40_960, 1024
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(d, n)))
+    par = jnp.array([[1.3, 0.8, 1.7]])
+    total = (num_samples // chunk) * chunk
+    samples = multivariate_t(key, jnp.zeros(d, jnp.float32),
+                             jnp.eye(d, dtype=jnp.float32), dof, (total,))
+    a_q = jnp.asarray(np.random.default_rng(1).normal(size=(n,)))
+    a_R = jnp.asarray(np.random.default_rng(2).normal(size=(d, n)))
+    a_Q = jnp.asarray(np.random.default_rng(3).normal(size=(n, n)))
+
+    def ref(par, x):
+        ell = par.reshape(-1)[1:]
+        xs = samples.astype(x.dtype)
+        s = xs / ell[None, :]
+        p = x.T / ell[None, :]
+        k = jnp.exp(-0.5 * (jnp.sum(s * s, 1)[:, None] + jnp.sum(p * p, 1)[None, :])
+                    + s @ p.T)
+        q, R, Q = jnp.mean(k, 0), (xs.T @ k) / total, (k.T @ k) / total
+        return jnp.sum(a_q * q) + jnp.sum(a_R * R) + jnp.sum(a_Q * Q)
+
+    def pal(par, x):
+        q, R, Q = student_expectations(par, x, dof, num_samples=num_samples,
+                                       key=key, chunk=chunk, interpret=True)
+        return jnp.sum(a_q * q) + jnp.sum(a_R * R) + jnp.sum(a_Q * Q)
+
+    g_ref = jax.grad(ref, argnums=(0, 1))(par, x)
+    g_pal = jax.grad(pal, argnums=(0, 1))(par, x)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+    # scale parameter does not enter the unscaled expectations
+    assert float(g_pal[0][0, 0]) == 0.0
+
+
+def test_exp_x_qRQ_grad_pallas_matches_scan():
+    """VERDICT r2 #4: jax.grad through RBFStudent.exp_x_qRQ on the Pallas
+    path must agree with the jnp scan path's gradient at MC tolerance
+    (different sample streams, same budget)."""
+    from ssmtoybox_tpu.bq.kernels import RBFStudent
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 3))
+    par = jnp.array([[1.0, 1.2]])
+    mk = dict(dim=1, par=par, dof=4.0, num_samples=200_000, num_batches=10)
+    k_pal = RBFStudent.create(use_pallas="force", **mk)
+    k_scan = RBFStudent.create(use_pallas=False, **mk)
+
+    def loss(kern, par, x):
+        q, R, Q = kern.exp_x_qRQ(par, x)
+        return jnp.sum(q) + jnp.sum(R) + jnp.sum(Q)
+
+    g_pal = jax.grad(loss, argnums=(1, 2))(k_pal, par, x)
+    g_scan = jax.grad(loss, argnums=(1, 2))(k_scan, par, x)
+    for a, b in zip(g_scan, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0.05, atol=0.02)
