@@ -33,6 +33,10 @@ from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
     FullySymmetricStudent, StudentProcessStudent, ExtendedStudent, GPQStudent,
+    TruncatedUnscentedKalman, TruncatedCubatureKalman, TruncatedGaussHermiteKalman,
+    MultiOutputGaussianProcessKalman, MultiOutputStudentProcessStudent,
+    MarginalInference, MarginalizedGaussianProcessKalman, ExtendedKalmanGPQD,
+    GaussianProcessDerKalman,
     IteratedPosteriorLinearizationKalman,
     gaussian_filter, gaussian_smoother, gaussian_filter_batch, studentian_filter,
     studentian_smoother,
@@ -48,6 +52,10 @@ __all__ = [
     "ExtendedKalman", "CubatureKalman", "UnscentedKalman", "GaussHermiteKalman",
     "GaussianProcessKalman", "BayesSardKalman", "StudentProcessKalman",
     "FullySymmetricStudent", "StudentProcessStudent", "ExtendedStudent", "GPQStudent",
+    "TruncatedUnscentedKalman", "TruncatedCubatureKalman", "TruncatedGaussHermiteKalman",
+    "MultiOutputGaussianProcessKalman", "MultiOutputStudentProcessStudent",
+    "MarginalInference", "MarginalizedGaussianProcessKalman", "ExtendedKalmanGPQD",
+    "GaussianProcessDerKalman",
     "gaussian_filter", "gaussian_smoother", "gaussian_filter_batch", "studentian_filter",
     "studentian_smoother",
     "IteratedPosteriorLinearizationKalman", "iterated_gaussian_filter", "slr_affine",

@@ -979,6 +979,9 @@ class MarginalInference(GaussianInference):
         self.param_upts = jnp.asarray(pts_mod.sr_points(self.param_dim))
         self.param_wts = jnp.asarray(pts_mod.sr_weights(self.param_dim))
         self.param_pts_num = self.param_upts.shape[1]
+        # compiled-variant knobs (forward_pass_compiled / forward_pass_batch)
+        self.newton_iters = 15
+        self.damping = 1e-3
 
         # jitted primitives -------------------------------------------------
         def _predict_meas(theta, m, P, k):
@@ -1090,6 +1093,33 @@ class MarginalInference(GaussianInference):
     # MarginalInference smooths with the default-parameter predictive
     # moments stored by its plain _time_update (ssinf.py:104,120-147)
 
+
+    def forward_pass_batch(self, data_batch, newton_iters: int | None = None,
+                           damping: float | None = None):
+        """Marginalized filtering of an (M, dim_y, N) batch in one program.
+
+        Overrides the inherited plain-Gaussian batch path, which would
+        silently filter with FIXED default kernel parameters instead of
+        marginalizing them.  Uses the compiled damped-Newton Laplace variant
+        (:meth:`forward_pass_compiled`) vmapped over trajectories — the
+        study-scale configuration (each trajectory runs its own per-step
+        parameter posterior)."""
+        data = self._check_batch(data_batch)
+        res = self._jit_marginal_batch(
+            self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
+            self.param_prior_mean, self.param_prior_cov,
+            self.newton_iters if newton_iters is None else newton_iters,
+            self.damping if damping is None else damping)
+        self._result = res
+        return res
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("newton_iters",))
+    def _jit_marginal_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
+                            par_mean0, par_cov0, newton_iters, damping):
+        return jax.vmap(lambda y: MarginalInference._jit_marginal(
+            mod_dyn, mod_obs, tf_dyn, tf_obs, y,
+            par_mean0, par_cov0, newton_iters, damping))(data)
 
     # -- fully-compiled variant ------------------------------------------------
     def forward_pass_compiled(self, data, newton_iters: int = 15, damping: float = 1e-3):

@@ -433,6 +433,24 @@ class TestCompiledMarginal:
         assert fm.shape == (3, 1, 5)
         assert bool(jnp.isfinite(fm).all())
 
+    def test_forward_pass_batch_is_marginalized(self, ungm):
+        """MarginalInference.forward_pass_batch must run the MARGINALIZED
+        compiled filter per trajectory (the inherited plain-Gaussian batch
+        would silently filter with fixed default parameters) — each batch
+        row equals a single-trajectory forward_pass_compiled run."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(8), steps=5, mc_sims=3)
+        y = obs.simulate_measurements(jax.random.PRNGKey(9), x)
+        alg = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs)
+        res = alg.forward_pass_batch(jnp.moveaxis(jnp.asarray(y), -1, 0))
+        assert res.fi_mean.shape == (3, 1, 5)
+        for i in range(3):
+            fm_i, fP_i = alg.forward_pass_compiled(y[..., i])
+            np.testing.assert_allclose(np.asarray(res.fi_mean[i]),
+                                       np.asarray(fm_i), atol=1e-10)
+            np.testing.assert_allclose(np.asarray(res.fi_cov[i]),
+                                       np.asarray(fP_i), atol=1e-10)
+
 
 class TestIteratedFilter:
     def test_one_iteration_equals_standard_filter(self, ungm):
