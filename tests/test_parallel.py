@@ -283,8 +283,14 @@ print(f"METRIC {m:.12f}", flush=True)
     with open(sp, "w") as f:
         f.write(script)
     port = "12765"
+    # strip the axon TPU-tunnel vars too: this image's sitecustomize dials
+    # the relay at interpreter start whenever PALLAS_AXON_POOL_IPS is set,
+    # BEFORE the child's config-API cpu pin can run — with the tunnel down
+    # the workers would hang (the MULTICHIP_r02 failure mode)
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                        "TPU_WORKER_HOSTNAMES")
+           and not k.startswith(("AXON_", "PALLAS_AXON_"))}
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [subprocess.Popen([sys.executable, sp, str(i), port],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
