@@ -212,12 +212,12 @@ class RBFStudent(RBFGauss):
     elsewhere Pallas would run in its interpreter — orders of magnitude
     slower than the jnp scan, so ``use_pallas=True`` only *permits* the
     kernels and the backend decides at trace time).  The fused
-    ``exp_x_qRQ`` path is DIFFERENTIABLE (``jax.custom_vjp``; the backward
-    pass is a second fused kernel over the same sample stream), so
-    ``jax.grad`` through it works on TPU.  ``exp_xy_kxy``'s Pallas path has
-    no autodiff rule — build with ``use_pallas=False`` for the
-    differentiable jnp scan everywhere, or ``use_pallas='force'`` to run
-    the Pallas kernels in interpret mode off-TPU (kernel-logic tests).
+    ``exp_x_qRQ`` and ``exp_xy_kxy`` Pallas paths are DIFFERENTIABLE
+    (``jax.custom_vjp``; each backward pass is a second fused kernel over
+    the same sample stream), so ``jax.grad`` through the full rbf-student
+    expectation surface works on TPU.  ``use_pallas=False`` selects the
+    jnp scan path everywhere; ``use_pallas='force'`` runs the Pallas
+    kernels in interpret mode off-TPU (kernel-logic tests).
     BQ WEIGHTS never go through the raw
     expectations: ``bq_weights`` uses :meth:`projected_weight_stats`, whose
     weight-space accumulation is immune to the ``1/lambda_min(K)^2`` error

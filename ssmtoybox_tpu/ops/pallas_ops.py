@@ -42,9 +42,9 @@ run in interpret mode.  :func:`student_expectations` is DIFFERENTIABLE
 expectation gradients are MC averages over the same sample stream, so the
 backward pass is a second fused kernel replaying the saved samples
 (:func:`_student_qRQ_bwd_kernel`) under the same per-chunk-f32/f64-reduce
-precision contract.  :func:`student_kxy` has no autodiff rule — callers
-needing gradients of the integral variance use the jnp scan path
-(``RBFStudent.create(..., use_pallas=False)``).
+precision contract.  :func:`student_kxy` carries the analogous VJP for the
+lengthscales (:func:`_student_kxy_bwd_kernel`), so the whole rbf-student
+expectation surface is differentiable on the Pallas path.
 """
 from __future__ import annotations
 
@@ -345,14 +345,18 @@ def student_kxy(par, dim: int, dof: float, num_samples: int = 2_000_000,
     ``bqkern.py:529-536``) — a scan that long costs ~30 s in emulated f64 on
     TPU; here each grid step is one (chunk, chunk) f32 Gram on the MXU.
     ``chunk`` is bounded by the Gram tile's VMEM footprint (1024² f32 = 4 MB).
+
+    DIFFERENTIABLE w.r.t. the lengthscales ``par[1:]`` (``jax.custom_vjp``;
+    the gradient is a pairwise MC average over the same sample stream —
+    one more fused kernel).  The scale ``par[0]`` does not enter the
+    unscaled expectation, so its cotangent is zero (callers apply the
+    ``s**2`` scaling outside, where autodiff handles it).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    par_row = jnp.asarray(par).reshape(-1)
-    ell = par_row[1:]
     d = dim
     dp = _round_up(max(d, 1), 8)
     # pairs need >= 2 samples per chunk (the estimator divides by chunk-1);
@@ -363,8 +367,19 @@ def student_kxy(par, dim: int, dof: float, num_samples: int = 2_000_000,
     num_chunks = max(num_samples // chunk, 1)
     total = num_chunks * chunk
 
-    samples = multivariate_t(key, jnp.zeros(d, jnp.float32),
-                             jnp.eye(d, dtype=jnp.float32), dof, (total,))
+    samples = jax.lax.stop_gradient(
+        multivariate_t(key, jnp.zeros(d, jnp.float32),
+                       jnp.eye(d, dtype=jnp.float32), dof, (total,)))
+    return _student_kxy_core(dp, chunk, bool(interpret), jnp.asarray(par), samples)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _student_kxy_core(dp, chunk, interpret, par, samples):
+    par_row = jnp.asarray(par).reshape(-1)
+    ell = par_row[1:]
+    d = ell.shape[0]
+    total = samples.shape[0]
+    num_chunks = total // chunk
     xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
     inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
 
@@ -382,6 +397,70 @@ def student_kxy(par, dim: int, dof: float, num_samples: int = 2_000_000,
         )(inv_l, xs)
     acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return (jnp.sum(acc.astype(acc_t)) / total).astype(jnp.asarray(par).dtype)
+
+
+def _student_kxy_core_fwd(dp, chunk, interpret, par, samples):
+    return _student_kxy_core(dp, chunk, interpret, par, samples), (par, samples)
+
+
+def _student_kxy_bwd_kernel(inv_l_ref, xs_ref, out_ref):
+    """Per-chunk partials of ``d E[k(x, y)] / d l_d`` over off-diagonal
+    pairs: with the exponent ``-0.5 sum_d (x_sd - x_td)^2 / l_d^2``,
+
+        t_d = sum_{s != t} k_st (x_sd - x_td)^2
+            = 2 sum_s x_sd^2 (rowsum_s - 1) - 2 (x_d^T k x_d - sum_s x_sd^2)
+            = 2 sum_s x_sd^2 rowsum_s - 2 x_d^T k x_d
+
+    (``k_ss = 1`` exactly, so the diagonal's contribution cancels — it is
+    zero in the numerator anyway since ``x_s - x_s = 0``).  The host divides
+    by ``l_d^3`` and the pair count.  Broadcast across 128 lanes for the
+    TPU tile shape."""
+    xs = xs_ref[:]
+    s = xs * inv_l_ref[:]
+    s2 = jnp.sum(s * s, axis=1, keepdims=True)
+    k = jnp.exp(-0.5 * (s2 + s2.T) + jnp.dot(s, s.T, preferred_element_type=jnp.float32))
+    rowsum = jnp.sum(k, axis=1, keepdims=True)                       # (C, 1)
+    kx = jnp.dot(k, xs, preferred_element_type=jnp.float32)          # (C, Dp)
+    t = 2.0 * (jnp.sum(xs * xs * rowsum, axis=0) - jnp.sum(xs * kx, axis=0))
+    out_ref[0, :, :] = t[:, None] * jnp.ones((1, 128), jnp.float32)
+
+
+def _student_kxy_core_bwd(dp, chunk, interpret, res, g):
+    par, samples = res
+    par_arr = jnp.asarray(par)
+    ell = par_arr.reshape(-1)[1:]
+    d = ell.shape[0]
+    total = samples.shape[0]
+    num_chunks = total // chunk
+    xs = jnp.zeros((total, dp), jnp.float32).at[:, :d].set(samples)
+    inv_l = jnp.zeros((1, dp), jnp.float32).at[0, :d].set(1.0 / ell.astype(jnp.float32))
+
+    with jax.enable_x64(False):
+        t_c = pl.pallas_call(
+            _student_kxy_bwd_kernel,
+            grid=(num_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, dp, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_chunks, dp, 128), jnp.float32),
+            interpret=interpret,
+        )(inv_l, xs)
+
+    acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    t = jnp.sum(t_c.astype(acc_t), axis=0)[:d, 0]
+    ell_a = ell.astype(acc_t)
+    # same normalization as the forward: off-diagonal pairs, per-chunk mean
+    # over (chunk - 1) pairs then the cross-chunk mean over total samples
+    l_bar = g.astype(acc_t) * t / (ell_a ** 3) / (total * (chunk - 1))
+    par_bar = (jnp.concatenate([jnp.zeros((1,), acc_t), l_bar])
+               .reshape(par_arr.shape).astype(par_arr.dtype))
+    return par_bar, jnp.zeros_like(samples)
+
+
+_student_kxy_core.defvjp(_student_kxy_core_fwd, _student_kxy_core_bwd)
 
 
 # ---------------------------------------------------------------------------

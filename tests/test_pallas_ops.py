@@ -83,6 +83,54 @@ def test_student_expectations_vjp_exact_on_same_samples():
     assert float(g_pal[0][0, 0]) == 0.0
 
 
+def test_student_kxy_vjp_exact_on_same_samples():
+    """The student_kxy custom VJP must match jax.grad of an exact f64
+    replica of the same pairwise estimator on the identical sample stream."""
+    from ssmtoybox_tpu.ops import student_kxy
+    from ssmtoybox_tpu.utils.rand import multivariate_t
+    d, dof = 2, 4.0
+    num_samples, chunk = 8192, 512
+    key = jax.random.PRNGKey(11)
+    par = jnp.array([[1.4, 0.9, 1.6]])
+    total = (num_samples // chunk) * chunk
+    samples = multivariate_t(key, jnp.zeros(d, jnp.float32),
+                             jnp.eye(d, dtype=jnp.float32), dof, (total,))
+
+    def ref(par):
+        ell = par.reshape(-1)[1:]
+        acc = 0.0
+        for c in range(total // chunk):
+            xs = samples[c * chunk:(c + 1) * chunk].astype(jnp.float64) / ell[None, :]
+            s2 = jnp.sum(xs * xs, 1)
+            k = jnp.exp(-0.5 * (s2[:, None] + s2[None, :]) + xs @ xs.T)
+            acc = acc + (jnp.sum(k) - chunk) / (chunk - 1)
+        return acc / total
+
+    def pal(par):
+        return student_kxy(par, d, dof, num_samples=num_samples, key=key,
+                           chunk=chunk, interpret=True)
+
+    np.testing.assert_allclose(float(pal(par)), float(ref(par)), rtol=1e-5)
+    g_ref, g_pal = jax.grad(ref)(par), jax.grad(pal)(par)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+    assert float(g_pal[0, 0]) == 0.0      # scale does not enter unscaled kxy
+
+
+def test_exp_xy_kxy_grad_pallas_matches_scan():
+    """jax.grad through RBFStudent.exp_xy_kxy (incl. the s**2 scaling) on
+    the Pallas path vs the jnp scan path, at MC tolerance."""
+    from ssmtoybox_tpu.bq.kernels import RBFStudent
+    par = jnp.array([[1.3, 1.1]])
+    mk = dict(dim=1, par=par, dof=4.0, num_samples=100_000, num_batches=50)
+    k_pal = RBFStudent.create(use_pallas="force", **mk)
+    k_scan = RBFStudent.create(use_pallas=False, **mk)
+    g_pal = jax.grad(lambda p: k_pal.exp_xy_kxy(p))(par)
+    g_scan = jax.grad(lambda p: k_scan.exp_xy_kxy(p))(par)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_scan),
+                               rtol=0.05, atol=0.02)
+
+
 def test_exp_x_qRQ_grad_pallas_matches_scan():
     """VERDICT r2 #4: jax.grad through RBFStudent.exp_x_qRQ on the Pallas
     path must agree with the jnp scan path's gradient at MC tolerance
