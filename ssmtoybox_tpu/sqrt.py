@@ -15,8 +15,11 @@ classical sigma-point rule — which
 
 Supported: classical sigma-point transforms (vector ``wm``, diagonal ``Wc``:
 SR/UT/GH/FS rules) AND single-output BQ transforms (GPQ/BSQ/TPQ), with
-additive noise on both models.  Negative covariance weights (UT with
-``kappa < 0``) are handled with static rank-1 Cholesky downdates
+additive OR non-additive noise on either model (non-additive noise enters
+through state augmentation in factor form: the augmented factor is
+``blkdiag(S, chol(noise_cov))``, whose noise block is a trace-time
+constant).  Negative covariance weights (UT with ``kappa < 0``) are handled
+with static rank-1 Cholesky downdates
 (:func:`~ssmtoybox_tpu.utils.linalg.cholupdate_small`).
 
 BQ transforms carry a dense covariance-weight matrix ``Wc`` plus an
@@ -119,14 +122,19 @@ def _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg_idx):
     return S
 
 
-def _transform_core(tf, what: str, cast):
+def _transform_core(tf, what: str, cast, state_dim: int | None = None):
     """Build the per-transform square-root pieces: trace-time constant unit
     points + mean weights, a ``factor(fx, dfx, noise_cols) -> S`` covariance
     factorization and a ``cross(S_in, dX_in, fx, dfx) -> P_xy`` cross-
     covariance, for classical sigma-point rules and single-output BQ
     transforms alike.  Returns ``(pts, wm, factor, cross, statics)`` where
     ``statics`` carries the classical-rule arrays the smoothers' joint
-    factorization needs (``None`` for BQ)."""
+    factorization needs (``None`` for BQ).
+
+    ``state_dim`` trims the BQ cross-covariance weight rows for NON-additive
+    models (augmented input: ``Wcc`` spans dim_in rows but the gain needs
+    only the state block, like the full path's ``xy_cov[:, :d]`` trim);
+    classical rules trim through the caller-supplied ``dX_in`` instead."""
     # local import: transforms.py imports utils/mtran; no cycle, but keep the
     # classical-only fast path importable without the bq subpackage warm
     from .bq.transforms import BQTransform, StudentTProcessTransform
@@ -156,7 +164,9 @@ def _transform_core(tf, what: str, cast):
         C = (C + C.T) / 2.0
         s, v = np.linalg.eigh(C)
         L_w = v * np.sqrt(np.clip(s, 0.0, None))[None, :]
-        Wcc = np.asarray(tf.Wcc)                        # (D, N), = R iK
+        Wcc = np.asarray(tf.Wcc)                        # (dim_in, N), = R iK
+        if state_dim is not None:
+            Wcc = Wcc[:state_dim]                       # augmented-input trim
         # EMV >= 0 in any sane configuration; clip so a slightly negative
         # trace residual (1 - tr(Q iK) < 0) degrades to "no inflation"
         # instead of a NaN column (full-covariance path would subtract it)
@@ -214,33 +224,69 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     predict+update, and ``cores['time']``/``cores['meas']`` expose the halves
     (the smoother needs the time update's deviations).
     """
-    if not (mod_dyn.noise_additive and mod_obs.noise_additive):
-        raise NotImplementedError(
-            "square-root filtering currently supports additive-noise models; "
-            "non-additive models need the augmented-state full-covariance path")
-
     def cast(a):
         return jnp.asarray(a, dtype=dtype)
 
-    pts_d, wm_d_, factor_d, _, statics_d = _transform_core(tf_dyn, "dynamics", cast)
-    pts_o, wm_o_, factor_o, cross_o, _ = _transform_core(tf_obs, "measurement", cast)
-
-    q_cov = np.asarray(mod_dyn.noise_rv.get_stats()[1])
-    r_cov = np.asarray(mod_obs.noise_rv.get_stats()[1])
-    G = np.asarray(mod_dyn.noise_gain)
-    Sq = G @ _psd_chol(q_cov)              # (D, dim_q) noise columns
-    Sr = _psd_chol(r_cov)                  # (E, E)
     m0_np, P0_np = (np.asarray(a) for a in mod_dyn.init_rv.get_stats()[:2])
     S0_np = _psd_chol(P0_np)
-    dim_y = r_cov.shape[0]
-    Sq_, Sr_ = cast(Sq), cast(Sr)
+    dim_x = m0_np.shape[0]
+
+    pts_d, wm_d_, factor_d, _, statics_d = _transform_core(
+        tf_dyn, "dynamics", cast, state_dim=dim_x)
+    pts_o, wm_o_, factor_o, cross_o, _ = _transform_core(
+        tf_obs, "measurement", cast, state_dim=dim_x)
+
+    q_mean, q_cov = (np.asarray(a) for a in mod_dyn.noise_rv.get_stats()[:2])
+    r_mean, r_cov = (np.asarray(a) for a in mod_obs.noise_rv.get_stats()[:2])
+    G = np.asarray(mod_dyn.noise_gain)
+
+    # Non-additive noise enters through STATE AUGMENTATION (like the full
+    # path's block_diag at ssinf._gaussian_time_update): the augmented
+    # factor is blkdiag(S, chol(noise_cov)), so only the state block varies
+    # — the noise block of the sigma-point deviations is a trace-time
+    # constant and the noise is already inside the propagated deviations.
+    # Without an additive-noise floor, though, the factorized covariances
+    # can be EXACTLY singular (e.g. the bilinear ``z = 0.05 r x^2``
+    # measurement maps every sigma point to 0 at a zero prior mean), and the
+    # gain's triangular solves would produce NaN from the 0/0 — the jitter
+    # columns ``sqrt(1e-9) I`` floor the factors the way the additive
+    # noise factor does naturally.  (The full-covariance path inherits the
+    # reference's unjittered solve and its luck-of-rounding behavior there.)
+    _jit_cols = lambda d_: np.sqrt(1e-9) * np.eye(d_)
+    if mod_dyn.noise_additive:
+        Sq_ = cast(G @ _psd_chol(q_cov))          # (D, dim_q) noise columns
+        q_mean_ = None
+        dX_bot_d = None
+    else:
+        Sq_ = cast(_jit_cols(dim_x))              # jitter floor only
+        q_mean_ = cast(q_mean)
+        dX_bot_d = cast(_psd_chol(q_cov) @ np.asarray(pts_d)[dim_x:])
+    if mod_obs.noise_additive:
+        Sr_ = cast(_psd_chol(r_cov))              # (E, E)
+        r_mean_ = None
+        dX_bot_o = None
+    else:
+        Sr_ = cast(_jit_cols(int(mod_obs.dim_out)))
+        r_mean_ = cast(r_mean)
+        dX_bot_o = cast(_psd_chol(r_cov) @ np.asarray(pts_o)[dim_x:])
+    dim_y = r_cov.shape[0] if mod_obs.noise_additive else int(mod_obs.dim_out)
 
     def time_dev(m, S, k):
         """Propagate sigma points; returns the predicted mean and the
         input/propagated deviations (no factorization — the smoother gets
-        ``S_pr`` as the leading block of its joint factorization instead)."""
-        dX_in = small_matmul(S, pts_d)
-        X = m[:, None] + dX_in
+        ``S_pr`` as the leading block of its joint factorization instead).
+        ``dX_in`` carries the STATE block of the input deviations (the part
+        the smoother gain and cross-covariances need)."""
+        dX_in = small_matmul(S, pts_d[:dim_x])
+        if mod_dyn.noise_additive:
+            X = m[:, None] + dX_in
+        else:
+            m_aug = jnp.concatenate([m, q_mean_.astype(S.dtype)])
+            dX_aug = jnp.concatenate(
+                [dX_in, jnp.broadcast_to(dX_bot_d.astype(S.dtype),
+                                         dX_in.shape[:-2] + dX_bot_d.shape)],
+                axis=-2)
+            X = m_aug[:, None] + dX_aug
         # model parameters may live in f64; pin the recursion's dtype
         fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
         m_pr = small_matmul(fX, wm_d_)
@@ -259,8 +305,16 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         (``ssinf._gaussian_time_update`` applies both models at ``time=k-1``,
         the reference convention), so time-dependent measurement models see
         identical stamps on both paths."""
-        dX = small_matmul(S_pr, pts_o)
-        Xp = m_pr[:, None] + dX
+        dX = small_matmul(S_pr, pts_o[:dim_x])
+        if mod_obs.noise_additive:
+            Xp = m_pr[:, None] + dX
+        else:
+            m_aug = jnp.concatenate([m_pr, r_mean_.astype(S_pr.dtype)])
+            dX_aug = jnp.concatenate(
+                [dX, jnp.broadcast_to(dX_bot_o.astype(S_pr.dtype),
+                                      dX.shape[:-2] + dX_bot_o.shape)],
+                axis=-2)
+            Xp = m_aug[:, None] + dX_aug
         hX = apply_f_columns(mod_obs.meas_eval, Xp, k - 1).astype(S_pr.dtype)
         y_pr = small_matmul(hX, wm_o_)
         dhx = hX - y_pr[:, None]
@@ -338,9 +392,11 @@ def _check_identity_reconstruction(st_, dim):
     # serving configuration, x64 disabled) GH reconstruction noise is ~4e-9,
     # which a fixed 1e-10 would spuriously reject; 1000*eps gives 1.2e-4
     # (f32) / 2.2e-13 (f64) — both orders away from the dof/(dof-2) scale
-    # error this check exists to catch
+    # error this check exists to catch.  The rule spans the transform's
+    # full input dim (augmented for non-additive models); identity over it
+    # implies identity over the state leading block the smoother needs.
     atol = 1000.0 * float(np.finfo(np.asarray(st_["wc_d_np"]).dtype).eps)
-    if not np.allclose(recon, np.eye(dim), atol=atol):
+    if not np.allclose(recon, np.eye(recon.shape[0]), atol=atol):
         raise TypeError(
             "square-root smoothing requires a sigma-point rule whose covariance "
             "weights reconstruct identity (sum wc_i xi_i xi_i^T = I); this rule "

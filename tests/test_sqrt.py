@@ -352,12 +352,46 @@ class TestSqrtValidation:
         with pytest.raises(TypeError, match="square-root"):
             make_sqrt_filter(dyn, obs, mc, mc)
 
-    def test_rejects_nonadditive(self):
+    def test_nonadditive_matches_full_covariance(self):
+        """Non-additive noise in factor form (augmented blkdiag factor)
+        matches the full-covariance UKF on UNGM-NA in f64, and survives f32.
+
+        The init mean is OFFSET from zero: at exactly zero mean the bilinear
+        measurement ``z = 0.05 r x^2`` maps every sigma point to 0 and the
+        innovation covariance is singular in BOTH paths (the full path then
+        rides on rounding luck, matching the reference's behavior) — that
+        degenerate case has its own test below."""
+        dyn = UNGMNATransition.create(
+            GaussRV.create(1, mean=jnp.array([2.0]), cov=1.0),
+            GaussRV.create(1, cov=1.0))
+        obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(4), steps=60, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(5), x)[..., 0]
+        fm, fc = st.UnscentedKalman(dyn, obs).forward_pass(y)
+        srk = SquareRootKalman(dyn, obs, points="ut")
+        sm, sc = srk.forward_pass(y)
+        # the sqrt path carries a 1e-9 innovation-jitter floor (no additive-R
+        # floor exists for non-additive models), so parity is ~sqrt(jitter)
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(fm),
+                                   rtol=1e-3, atol=1e-3)
+        m32, P32 = SquareRootKalman(dyn, obs, points="ut",
+                                    dtype=jnp.float32).forward_pass(y)
+        assert np.isfinite(np.asarray(m32)).all()
+        assert np.isfinite(np.asarray(P32)).all()
+
+    def test_nonadditive_degenerate_prior_stays_finite(self):
+        """At a zero prior mean the bilinear measurement makes the innovation
+        covariance EXACTLY singular; the sqrt path's jitter floor must keep
+        the recursion finite in both precisions (a 0/0 would NaN the gain)."""
         dyn = UNGMNATransition.create(GaussRV.create(1, cov=1.0),
                                       GaussRV.create(1, cov=10.0))
         obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
-        with pytest.raises(NotImplementedError, match="additive"):
-            SquareRootKalman(dyn, obs)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(4), steps=60, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(5), x)[..., 0]
+        for dt in (None, jnp.float32):
+            m, P = SquareRootKalman(dyn, obs, points="ut", dtype=dt).forward_pass(y)
+            assert np.isfinite(np.asarray(m)).all(), dt
+            assert np.isfinite(np.asarray(P)).all(), dt
 
     def test_rejects_bad_points(self, ungm):
         dyn, obs, _, _ = ungm
