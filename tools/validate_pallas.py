@@ -91,6 +91,28 @@ def validate(num_samples_stat: int = 200_000, num_samples_exact: int = 2_000_000
            kern_p.exp_xy_kxy(jnp.asarray(par)),
            kern_j.exp_xy_kxy(jnp.asarray(par)), mc_tol)
 
+    # 2b. custom-VJP backward kernels, compiled vs interpret (same stream) --
+    #     a Mosaic lowering regression in the gradient kernels would
+    #     otherwise only surface off-hardware
+    a_q = jnp.asarray(np.random.default_rng(1).normal(size=qc.shape))
+    a_R = jnp.asarray(np.random.default_rng(2).normal(size=rc.shape))
+    a_Q = jnp.asarray(np.random.default_rng(3).normal(size=Qc.shape))
+
+    def loss_qrq(par_, interp):
+        q, R, Q = P.student_expectations(par_, jnp.asarray(x), 4.0,
+                                         num_samples=num_samples_stat, key=key,
+                                         interpret=interp)
+        return jnp.sum(a_q * q) + jnp.sum(a_R * R) + jnp.sum(a_Q * Q)
+
+    gc = jax.grad(lambda p: loss_qrq(p, False))(jnp.asarray(par))
+    gi = jax.grad(lambda p: loss_qrq(p, True))(jnp.asarray(par))
+    record("student_expectations/grad compiled-vs-interpret", gc, gi, 1e-4)
+    gkc = jax.grad(lambda p: P.student_kxy(p, dim, 4.0, num_samples=num_samples_stat,
+                                           key=key, interpret=False))(jnp.asarray(par))
+    gki = jax.grad(lambda p: P.student_kxy(p, dim, 4.0, num_samples=num_samples_stat,
+                                           key=key, interpret=True))(jnp.asarray(par))
+    record("student_kxy/grad compiled-vs-interpret", gkc, gki, 1e-4)
+
     # 3. vandermonde: Mosaic vs the jnp twin on a degree<=3 multi-index -----
     mul_ind = np.asarray(n_sum_k(dim, 3))
     xs = np.asarray(x, np.float64)
