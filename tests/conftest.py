@@ -74,7 +74,8 @@ _SMOKE_PATTERNS = (
     "test_parity.py::test_gp_weights_parity",
     "test_bq.py::TestGPModel::test_weight_shapes",
     "test_bq.py::TestTransforms",
-    "test_sqrt.py::TestSquareRootFilters::test_srukf_matches_ukf_ungm",
+    "test_sqrt.py::TestSqrtParity::test_srukf_matches_ukf_ungm",
+    "test_sqrt.py::TestSqrtBQ::test_sqrt_bq_matches_full_f64",
     "test_parallel.py::test_sharded_filter_matches_unsharded",
     "test_parallel.py::test_graft_entry_points",
     "test_points_mtran.py::test_gauss_rules_match_gaussian_moments",
