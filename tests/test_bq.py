@@ -287,6 +287,35 @@ class TestStudentKernel:
         np.testing.assert_allclose(np.asarray(ks.exp_x_kxkx(p1, p0, x)), q_mc.T,
                                    atol=1e-12)
 
+    def test_full_student_weight_build_grad_on_pallas_path(self):
+        """r3: the Pallas student kernels carry custom VJPs, so jax.grad
+        through a FULL rbf-student bq_weights build (projected weight stats
+        scan + Pallas exp_xy_kxy) works with use_pallas='force' — before,
+        the integral-variance term killed the gradient on the TPU path."""
+        from ssmtoybox_tpu.bq.models import GaussianProcessModel
+        par = np.array([[1.0, 2.0]])
+        m = GaussianProcessModel.create(1, par, kern_str="rbf-student",
+                                        point_str="ut", num_samples=20_000,
+                                        num_batches=10, use_pallas="force")
+
+        def loss(p):
+            w = m.bq_weights(p)
+            return (jnp.sum(w.wm) + jnp.sum(w.Wc) + w.model_var
+                    + w.integral_var)
+
+        g = jax.grad(loss)(jnp.asarray(par))
+        assert bool(jnp.isfinite(g).all())
+        m_scan = m.replace(kernel=m.kernel.replace(use_pallas=False))
+
+        def loss_scan(p):
+            w = m_scan.bq_weights(p)
+            return (jnp.sum(w.wm) + jnp.sum(w.Wc) + w.model_var
+                    + w.integral_var)
+
+        g_scan = jax.grad(loss_scan)(jnp.asarray(par))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_scan),
+                                   rtol=0.1, atol=0.05)
+
     def test_use_pallas_flag_and_grad_path(self):
         """use_pallas=False gives the differentiable jnp scan path (the
         Pallas calls have no autodiff rule); both paths agree to MC error."""
