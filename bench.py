@@ -242,17 +242,18 @@ def baseline_numpy(y_ungm, y_reentry):
     return t_base_ungm + t_base_re + t_base_ungm
 
 
-def _probe_backend(timeout_s: int = 120, attempts: int = 3) -> None:
-    """Fail fast if the TPU backend hangs instead of initializing.
+def _probe_backend(timeout_s: int = 120, attempts: int = 3) -> bool:
+    """Probe backend liveness; True if the configured backend initializes.
 
     When this image's axon TPU tunnel is down, jax backend init BLOCKS
     indefinitely (observed: >9 min at load ~0) rather than erroring; probe
-    device discovery in a disposable subprocess so a dead tunnel turns into
-    a loud rc=2 instead of an eternal hang of the whole bench run.
+    device discovery in a disposable subprocess so a dead tunnel can't hang
+    the whole bench run.
 
     The tunnel can FLAP within a run window (MULTICHIP/BENCH r02 both hit
     a down phase), so a single failed probe must not zero the round's perf
-    artifact: retry with backoff before giving up.
+    artifact: retry with backoff, and let the caller fall back to a
+    clearly-labeled CPU run instead of exiting empty-handed.
     """
     import os
     import subprocess
@@ -270,7 +271,7 @@ def _probe_backend(timeout_s: int = 120, attempts: int = 3) -> None:
                                  capture_output=True, text=True, timeout=timeout_s)
             if out.returncode == 0:
                 log("backend probe:", out.stdout.strip())
-                return
+                return True
             last_err = "jax backend init failed: " + out.stderr.strip()[-2000:]
         except subprocess.TimeoutExpired:
             last_err = (f"jax backend init did not complete within {timeout_s}s "
@@ -280,8 +281,26 @@ def _probe_backend(timeout_s: int = 120, attempts: int = 3) -> None:
             backoff = 30 * attempt
             log(f"retrying in {backoff}s ...")
             time.sleep(backoff)
-    log("FATAL:", last_err)
-    sys.exit(2)
+    log("backend unavailable after retries:", last_err)
+    return False
+
+
+def _arm_watchdog(seconds: int = 2400) -> None:
+    """Hard wall-clock limit: if anything inside the run blocks (e.g. the
+    tunnel dies MID-run, after a healthy probe), exit 3 with a diagnostic
+    instead of hanging until the driver's bare timeout."""
+    import signal
+
+    def _fire(signum, frame):
+        log(f"FATAL: bench watchdog fired after {seconds}s — backend hang "
+            "mid-run? (tunnel died after the probe)")
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, _fire)
+        signal.alarm(seconds)
+    except (ValueError, AttributeError):   # non-main thread / platform
+        pass
 
 
 def main():
@@ -292,7 +311,25 @@ def main():
     global MC_RUNS
     if args.mc:
         MC_RUNS = args.mc
-    _probe_backend()
+    _arm_watchdog()
+    backend_ok = _probe_backend()
+    cpu_fallback = False
+    if not backend_ok:
+        # Record SOMETHING for the round rather than nothing (BENCH_r02 was
+        # lost to a dead tunnel): pin the CPU backend through the config API
+        # (immune to the tunnel; see tests/conftest.py) and run a smaller,
+        # clearly-labeled fallback study.  The metric name says exactly what
+        # happened — this is NOT the TPU headline number.
+        cpu_fallback = True
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        MC_RUNS = min(MC_RUNS, 2000)
+        # the probe retries consumed several minutes of the watchdog budget;
+        # give the (compile-bound CPU) fallback its own full window so the
+        # watchdog can't kill the very run that exists to save the artifact
+        _arm_watchdog()
+        log(f"CPU FALLBACK: TPU tunnel unavailable; running mc={MC_RUNS} on "
+            "the CPU backend with a renamed metric")
     t_tpu, y_np, y_re_np = tpu_run()
     try:
         if os.path.isdir("/root/reference"):
@@ -307,20 +344,32 @@ def main():
     log(f"TPU total: {t_tpu:.3f}s | baseline({base_kind}, extrapolated to {MC_RUNS}): {t_base:.1f}s")
 
     # on-hardware Pallas (Mosaic) numerical validation, machine-readable
-    # (VERDICT r1 #5); a kernel regression fails the bench loudly
-    try:
-        from tools.validate_pallas import validate
-        pallas_ok = validate(out_path=os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "PALLAS_VALIDATION.json"))["ok"]
-    except Exception as e:
-        log("pallas validation errored:", repr(e))
-        pallas_ok = False
-    if not pallas_ok:
-        log("PALLAS VALIDATION FAILED — see PALLAS_VALIDATION.json")
-        sys.exit(1)
+    # (VERDICT r1 #5); a kernel regression fails the bench loudly.  The CPU
+    # fallback cannot run compiled Mosaic kernels (interpret-only backend),
+    # so validation is skipped there — the fallback metric name already
+    # flags the run as non-TPU.
+    if cpu_fallback:
+        log("pallas validation skipped: CPU fallback (no Mosaic backend)")
+    else:
+        try:
+            from tools.validate_pallas import validate
+            pallas_ok = validate(out_path=os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "PALLAS_VALIDATION.json"))["ok"]
+        except Exception as e:
+            log("pallas validation errored:", repr(e))
+            pallas_ok = False
+        if not pallas_ok:
+            log("PALLAS VALIDATION FAILED — see PALLAS_VALIDATION.json")
+            sys.exit(1)
 
+    # metric name is stable across rounds for the TPU path (BENCH_r01
+    # comparability); the fallback is explicitly labeled with its MC count
+    metric = "ungm500_ukf+gpqkf+reentry100_ukf_10k_mc_wallclock_f64"
+    if cpu_fallback:
+        metric = (f"ungm500_ukf+gpqkf+reentry100_ukf_{MC_RUNS}_mc_wallclock_f64"
+                  "_CPU_FALLBACK_TUNNEL_DOWN")
     print(json.dumps({
-        "metric": "ungm500_ukf+gpqkf+reentry100_ukf_10k_mc_wallclock_f64",
+        "metric": metric,
         "value": round(t_tpu, 4),
         "unit": "s",
         "vs_baseline": round(t_base / t_tpu, 2),

@@ -64,7 +64,7 @@ def main():
         "MGPQKF": mgpq,
     }
     df, _ = run_filter_bank(algs, y, x)
-    print_tables(df[["rmse", "rmse_2std", "nci", "nci_2std", "nll", "nll_2std",
+    print_tables(df[["rmse", "rmse_2std", "nci", "inc", "nll", "nll_2std",
                      "diverged", "wallclock_s"]],
                  f"UNGM marginalized study, steps={args.steps}, mc={args.mc}",
                  args.latex)

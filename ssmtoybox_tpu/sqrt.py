@@ -381,7 +381,7 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     return filter_fn
 
 
-def _check_identity_reconstruction(st_, dim):
+def _check_identity_reconstruction(st_):
     """The joint factorization's bottom block reconstructs the filtered
     covariance as ``S_fi (sum_i wc_i xi_i xi_i^T) S_fi^T`` — only valid for
     rules whose covariance weights reproduce identity.  The fully-symmetric
@@ -461,7 +461,7 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
             "the full-covariance smoother")
     time_dev, meas_core = cores["time_dev"], cores["meas"]
     dim = S0_np.shape[0]
-    _check_identity_reconstruction(cores["statics"], dim)
+    _check_identity_reconstruction(cores["statics"])
     joint_factor = _make_joint_factor(cores["statics"], dim)
 
     @jax.jit
@@ -672,7 +672,7 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
             "input/output deviations); BQ dynamics transforms are filter-only")
     time_dev, meas_core = cores["time_dev"], cores["meas"]
     dim = S0_np.shape[0]
-    _check_identity_reconstruction(cores["statics"], dim)
+    _check_identity_reconstruction(cores["statics"])
     joint_factor = _make_joint_factor(cores["statics"], dim)
 
     def _fresh_bufs():

@@ -1122,7 +1122,8 @@ class MarginalInference(GaussianInference):
             par_mean0, par_cov0, newton_iters, damping))(data)
 
     # -- fully-compiled variant ------------------------------------------------
-    def forward_pass_compiled(self, data, newton_iters: int = 15, damping: float = 1e-3):
+    def forward_pass_compiled(self, data, newton_iters: int | None = None,
+                              damping: float | None = None):
         """Whole marginalized filter as one ``lax.scan`` (TPU-native variant).
 
         The reference's per-step scipy BFGS (``ssinf.py:1272``) is replaced by
@@ -1140,7 +1141,9 @@ class MarginalInference(GaussianInference):
         data = jnp.asarray(data)
         self._result = self._jit_marginal(
             self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
-            self.param_prior_mean, self.param_prior_cov, newton_iters, damping)
+            self.param_prior_mean, self.param_prior_cov,
+            self.newton_iters if newton_iters is None else newton_iters,
+            self.damping if damping is None else damping)
         self.fi_mean, self.fi_cov = self._result.fi_mean, self._result.fi_cov
         self.set_flag("filtered", True)
         return self.fi_mean, self.fi_cov

@@ -317,8 +317,10 @@ class TestStudentKernel:
                                    rtol=0.1, atol=0.05)
 
     def test_use_pallas_flag_and_grad_path(self):
-        """use_pallas=False gives the differentiable jnp scan path (the
-        Pallas calls have no autodiff rule); both paths agree to MC error."""
+        """use_pallas=False selects the jnp scan path everywhere (still the
+        off-TPU default; the Pallas kernels now carry custom VJPs, see
+        test_full_student_weight_build_grad_on_pallas_path); both paths
+        agree to MC error."""
         par = np.array([[1.0, 2.0]])
         x = jnp.asarray(np.array([[0.0, 1.0, -1.0]]))
         k_scan = RBFStudent.create(1, par, dof=10.0, num_samples=20_000,

@@ -283,14 +283,11 @@ print(f"METRIC {m:.12f}", flush=True)
     with open(sp, "w") as f:
         f.write(script)
     port = "12765"
-    # strip the axon TPU-tunnel vars too: this image's sitecustomize dials
-    # the relay at interpreter start whenever PALLAS_AXON_POOL_IPS is set,
-    # BEFORE the child's config-API cpu pin can run — with the tunnel down
-    # the workers would hang (the MULTICHIP_r02 failure mode)
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
-                        "TPU_WORKER_HOSTNAMES")
-           and not k.startswith(("AXON_", "PALLAS_AXON_"))}
+    # tunnel-immune child env (strips the axon relay vars so sitecustomize
+    # can't dial a dead tunnel at interpreter start — the MULTICHIP_r02
+    # failure mode); shared with the driver's multi-chip dryrun
+    import __graft_entry__
+    env = __graft_entry__._cpu_env(num_devices=4)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [subprocess.Popen([sys.executable, sp, str(i), port],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
