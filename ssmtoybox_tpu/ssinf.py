@@ -1232,7 +1232,17 @@ class MarginalInference(GaussianInference):
 
             means, covs = jax.vmap(one, in_axes=1)(theta_pts)
             m_new = jnp.einsum("pi,p->i", means, wts)
-            P_new = jnp.einsum("pij,p->ij", covs, wts)
+            P_new = symmetrize(jnp.einsum("pij,p->ij", covs, wts))
+            # per-theta Kalman updates subtract K S K^T from full covariances,
+            # so an extreme quadrature member can push the collapsed mixture
+            # covariance non-PD — after which every later step is NaN.  Keep
+            # the incumbent moments in that case (the same safeguard this
+            # step already applies to the parameter posterior above); the
+            # run continues instead of being lost to one bad step.
+            state_ok = (jnp.all(jnp.isfinite(m_new))
+                        & jnp.all(jnp.isfinite(chol_small(P_new))))
+            m_new = jnp.where(state_ok, m_new, m)
+            P_new = jnp.where(state_ok, P_new, P)
             return ((m_new, P_new, theta_star, pc_new),
                     (m_new, P_new, m_pr_d, P_pr_d, xx_d))
 
