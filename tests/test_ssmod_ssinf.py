@@ -194,6 +194,22 @@ class TestFilters:
             fm, _ = alg.forward_pass(y[..., s])
             np.testing.assert_allclose(batch.fi_mean[s], fm, rtol=1e-12, atol=1e-12)
 
+    def test_scan_unroll_equivalent(self, ungm):
+        # unroll only restructures the compiled loop — a pure dispatch-
+        # amortization knob for the TPU headline bench (SSMTPU_SCAN_UNROLL).
+        # XLA may fuse differently across the unrolled body, so equality
+        # holds to reassociation rounding (observed <= 4e-15 abs), not bits.
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(11), steps=30, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(12), x)
+        alg = st.UnscentedKalman(dyn, obs)
+        r1 = st.gaussian_filter(dyn, obs, alg.tf_dyn, alg.tf_obs, y[..., 0])
+        r8 = st.gaussian_filter(dyn, obs, alg.tf_dyn, alg.tf_obs, y[..., 0], unroll=8)
+        for f in ("fi_mean", "fi_cov", "pr_mean", "pr_cov", "pr_xx_cov"):
+            np.testing.assert_allclose(np.asarray(getattr(r1, f)),
+                                       np.asarray(getattr(r8, f)),
+                                       rtol=1e-10, atol=1e-12, err_msg=f)
+
     def test_student_filters_run(self):
         dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
                                     StudentRV.create(1, scale=10.0, dof=4.0))
