@@ -184,7 +184,8 @@ def slr_affine(tf, f, mean, cov, time, theta=None):
 def iterated_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                              iterations: int = 5,
                              init_mean=None, init_cov=None,
-                             theta_dyn=None, theta_obs=None) -> FilterResult:
+                             theta_dyn=None, theta_obs=None,
+                             unroll: int = None) -> FilterResult:
     """Iterated posterior-linearization filter (IPLF) as one ``lax.scan``.
 
     Garcia-Fernandez, Svensson, Morelande & Sarkka (IEEE TSP 2015): the
@@ -241,7 +242,10 @@ def iterated_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         return (m_fi, P_fi), (m_pr, P_pr, xx, m_fi, P_fi)
 
     ks = jnp.arange(1, n_steps + 1)
-    _, (pr_m, pr_P, pr_xx, fi_m, fi_P) = jax.lax.scan(step, (m0, P0), (data.T, ks))
+    if unroll is None:
+        unroll = int(os.environ.get("SSMTPU_SCAN_UNROLL", "1"))
+    _, (pr_m, pr_P, pr_xx, fi_m, fi_P) = jax.lax.scan(
+        step, (m0, P0), (data.T, ks), unroll=unroll)
     return FilterResult(
         fi_mean=jnp.moveaxis(fi_m, 0, -1),
         fi_cov=jnp.moveaxis(fi_P, 0, -1),
@@ -361,11 +365,13 @@ def gaussian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
 # ---------------------------------------------------------------------------
 
 def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
-                      dof: float = 4.0, fixed_dof: bool = True) -> StudentFilterResult:
+                      dof: float = 4.0, fixed_dof: bool = True,
+                      unroll: int = None) -> StudentFilterResult:
     """Student-t forward pass (``ssinf.py:555-736``) as one ``lax.scan``.
 
     Tracks the filtered mean, the (pseudo-)covariance, the scale matrix and
     the degrees of freedom.  Parity quirks preserved — see module docstring.
+    ``unroll`` as in :func:`gaussian_filter` (env ``SSMTPU_SCAN_UNROLL``).
     """
     if dof <= 2.0:
         dof = 4.0
@@ -444,8 +450,10 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
 
     ks = jnp.arange(1, n_steps + 1)
     init = (x0_mean, x_smat_0, jnp.asarray(x0_dof, dtype=x0_mean.dtype))
+    if unroll is None:
+        unroll = int(os.environ.get("SSMTPU_SCAN_UNROLL", "1"))
     _, (fi_m, fi_P, fi_S, dofs, pr_m, pr_S, pr_xx) = jax.lax.scan(
-        step, init, (data.T, ks))
+        step, init, (data.T, ks), unroll=unroll)
     return StudentFilterResult(
         fi_mean=jnp.moveaxis(fi_m, 0, -1),
         fi_cov=jnp.moveaxis(fi_P, 0, -1),
