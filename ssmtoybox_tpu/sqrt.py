@@ -39,9 +39,21 @@ time, ``L_w L_w^T = Wc - wm wm^T``, gives
 i.e. one QR over the columns ``[fx L_w, sqrt(emv) I, noise]`` — all
 positive terms, no downdates, PD by construction in f32.  The same argument
 covers BSQ (augmented features ``[k(x, X); p(x)]``) and TPQ (GP weights with
-a data-dependent EMV scale, handled in-trace).  BQ smoothing stays on the
-full-covariance path (the joint factorization needs the classical
-shared-deviation structure).
+a data-dependent EMV scale, handled in-trace).
+
+BQ SMOOTHING works in factor form too: the joint (x_pred, x_prev)
+factorization the RTS recursion needs does not require the classical
+shared-deviation structure, because the residual weight matrix
+
+``(Wc - wm wm^T) - Wcc^T Wcc = iK (Q - q q^T - R^T R) iK``
+
+is the Schur complement of the joint covariance of ``(x, k(x, X))`` under
+``x ~ N(0, I)`` — PSD by construction — so closed-form joint columns
+``top = [fx Wcc^T, fx W_hat, emv, noise]``, ``bot = [S, 0, 0, 0]`` with
+``W_hat W_hat^T`` the factored residual reproduce the predicted covariance,
+the exact (uncentered-equivalent) BQ cross-covariance and the previous
+filtered covariance in one QR (:func:`_make_joint_factor_bq`) — again no
+downdates, PD by construction.
 """
 from __future__ import annotations
 
@@ -167,6 +179,17 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
         Wcc = np.asarray(tf.Wcc)                        # (dim_in, N), = R iK
         if state_dim is not None:
             Wcc = Wcc[:state_dim]                       # augmented-input trim
+        # joint residual factor for SMOOTHING: the conditional covariance
+        # weight (Wc - wm wm^T) - Wcc^T Wcc = iK (Q - q q^T - R^T R) iK is
+        # the Schur complement of the joint covariance of (x, k(x)) under
+        # x ~ N(0, I), hence PSD by construction (trimming Wcc rows only
+        # shrinks the subtrahend); its factor W_hat closes the joint
+        # (x_prev, x_pred) factorization for BQ dynamics with NO downdates:
+        # top = [fx Wcc^T, fx W_hat, emv, noise], bot = [S, 0, 0, 0]
+        C2 = C - Wcc.T @ Wcc
+        C2 = (C2 + C2.T) / 2.0
+        s2, v2 = np.linalg.eigh(C2)
+        W_hat = v2 * np.sqrt(np.clip(s2, 0.0, None))[None, :]
         # EMV >= 0 in any sane configuration; clip so a slightly negative
         # trace residual (1 - tr(Q iK) < 0) degrades to "no inflation"
         # instead of a NaN column (full-covariance path would subtract it)
@@ -207,7 +230,9 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
             # analytically, so parity with the full path holds to round-off
             return small_mm3(S_in, Wcc_, jnp.swapaxes(fx, -1, -2))
 
-        return pts_, wm_, factor, cross, None
+        statics = dict(bq=True, WccT_b=cast(Wcc.T), W_hat_b=cast(W_hat),
+                       emv_cols_b=emv_cols)
+        return pts_, wm_, factor, cross, statics
 
     raise TypeError(
         f"square-root filtering needs a classical sigma-point transform or a "
@@ -337,9 +362,11 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         return m_pr, S_pr, y_pr, S_yy, m_fi, S_fi
 
     statics = dict(statics_d or {}, Sq=Sq_)
+    is_bq_dyn = statics_d is not None and statics_d.get("bq", False)
     cores = dict(step=step_core, time=time_core, time_dev=time_dev,
                  meas=meas_core, statics=statics,
-                 classical_dyn=statics_d is not None)
+                 classical_dyn=statics_d is not None and not is_bq_dyn,
+                 bq_dyn=is_bq_dyn)
     return cores, cast, m0_np, S0_np, dim_y
 
 
@@ -434,6 +461,75 @@ def _make_joint_factor(st_, dim):
     return joint_factor
 
 
+def _make_joint_factor_bq(st_, dim):
+    """Joint-deviation triangularization for BQ DYNAMICS transforms.
+
+    The classical joint factor reconstructs both blocks from shared sigma-
+    point deviations; BQ covariance/cross weights are dense, so the joint
+    (x_pred, x_prev) covariance is factored from closed-form columns
+    instead::
+
+        top = [fx Wcc^T, fx W_hat, emv_cols, noise]     (predicted rows)
+        bot = [S,        0,        0,        0   ]      (previous rows)
+
+    where ``W_hat W_hat^T = (Wc - wm wm^T) - Wcc^T Wcc`` is PSD by
+    construction (Schur complement of the joint covariance of ``(x, k(x))``
+    under ``x ~ N(0, I)``; row-trimmed ``Wcc`` only shrinks the
+    subtrahend), so top·top^T = P_pr, top·bot^T = cov(x_pred, x_prev) and
+    bot·bot^T = P_fi — one QR, no downdates, PD by construction like the
+    classical path.
+    """
+    WccT_, W_hat_, emv_cols, Sq_ = (st_["WccT_b"], st_["W_hat_b"],
+                                    st_["emv_cols_b"], st_["Sq"])
+
+    def joint_factor(fX, S):
+        A1 = small_matmul(fX, WccT_.astype(fX.dtype))       # (D, D)
+        A2 = small_matmul(fX, W_hat_.astype(fX.dtype))      # (D, N)
+        E = emv_cols(fX) + jnp.zeros(fX.shape[:-2] + (1, 1), fX.dtype)
+        nq = Sq_.shape[-1]
+        top = jnp.concatenate(
+            [A1, A2, E, Sq_.astype(fX.dtype) +
+             jnp.zeros(fX.shape[:-2] + (1, 1), fX.dtype)], axis=-1)
+        pad = jnp.zeros(S.shape[:-1] + (A2.shape[-1] + E.shape[-1] + nq,),
+                        S.dtype)
+        bot = jnp.concatenate([S, pad], axis=-1)
+        L = _qr_factor(jnp.concatenate([top, bot], axis=-2))
+        L11 = L[..., :dim, :dim]
+        L21 = L[..., dim:, :dim]
+        R22 = L[..., dim:, dim:]
+        Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
+                             jnp.swapaxes(L21, -1, -2), lower=False)
+        return L11, jnp.swapaxes(Gt, -1, -2), R22
+
+    return joint_factor
+
+
+def _make_predict_joint(cores, time_dev, dim):
+    """Shared smoother prediction: ``(m, S, k) -> (m_pr, S_pr, G, R22)``,
+    dispatching on the dynamics-transform family (classical sigma-point rule
+    vs single-output BQ) — S_pr is the leading block of the joint (x_pred,
+    x_prev) factorization either way, so no separate prediction QR runs."""
+    if cores["classical_dyn"]:
+        _check_identity_reconstruction(cores["statics"])
+        joint_classical = _make_joint_factor(cores["statics"], dim)
+
+        def predict_joint(m, S, k):
+            m_pr, _, dfx, dX_in = time_dev(m, S, k)
+            S_pr, G, R22 = joint_classical(dfx, dX_in)
+            return m_pr, S_pr, G, R22
+    elif cores["bq_dyn"]:
+        joint_bq = _make_joint_factor_bq(cores["statics"], dim)
+
+        def predict_joint(m, S, k):
+            m_pr, fX, _, _ = time_dev(m, S, k)
+            S_pr, G, R22 = joint_bq(fX, S)
+            return m_pr, S_pr, G, R22
+    else:  # unreachable: _transform_core raised on anything else
+        raise TypeError("square-root smoothing needs a classical sigma-point "
+                        "rule or a single-output BQ transform for the dynamics")
+    return predict_joint
+
+
 def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     """Build a jitted square-root RTS smoother (textbook indexing).
 
@@ -453,16 +549,9 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     """
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
-    if not cores["classical_dyn"]:
-        raise TypeError(
-            "square-root smoothing requires a classical sigma-point rule for "
-            "the dynamics (the joint factorization needs shared input/output "
-            "deviations); BQ dynamics transforms are filter-only here — use "
-            "the full-covariance smoother")
     time_dev, meas_core = cores["time_dev"], cores["meas"]
     dim = S0_np.shape[0]
-    _check_identity_reconstruction(cores["statics"])
-    joint_factor = _make_joint_factor(cores["statics"], dim)
+    predict_joint = _make_predict_joint(cores, time_dev, dim)
 
     @jax.jit
     def smooth_fn(data, init_mean=None, init_sqrt=None):
@@ -474,8 +563,7 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
         def fstep(carry, inp):
             m, S = carry
             y, k = inp
-            m_pr, _, dfx, dX_in = time_dev(m, S, k)
-            S_pr, G, R22 = joint_factor(dfx, dX_in)
+            m_pr, S_pr, G, R22 = predict_joint(m, S, k)
             _, _, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
             return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi, G, R22)
 
@@ -665,15 +753,9 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
                          f"(lag=1 is plain filtering — use make_online_sqrt_filter)")
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
-    if not cores["classical_dyn"]:
-        raise TypeError(
-            "fixed-lag square-root smoothing requires a classical sigma-point "
-            "rule for the dynamics (the joint factorization needs shared "
-            "input/output deviations); BQ dynamics transforms are filter-only")
     time_dev, meas_core = cores["time_dev"], cores["meas"]
     dim = S0_np.shape[0]
-    _check_identity_reconstruction(cores["statics"])
-    joint_factor = _make_joint_factor(cores["statics"], dim)
+    predict_joint = _make_predict_joint(cores, time_dev, dim)
 
     def _fresh_bufs():
         m0, S0 = cast(m0_np), cast(S0_np)
@@ -694,8 +776,7 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
 
     def _one(state: FixedLagSqrtState, y, observed):
         k = state.step
-        m_pr, _, dfx, dX_in = time_dev(state.mean, state.sqrt, k)
-        S_pr, G, R22 = joint_factor(dfx, dX_in)
+        m_pr, S_pr, G, R22 = predict_joint(state.mean, state.sqrt, k)
         y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
         m_new = jnp.where(observed, m_fi, m_pr)
         S_new = jnp.where(observed, S_fi, S_pr)

@@ -55,12 +55,48 @@ assert len(jax.devices()) >= 8, "tests require 8 virtual CPU devices"
 # optimized HLO + compile flags + jax version, so code changes can never hit
 # a stale entry.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_compilation_cache")
+
+# A run killed mid-cache-write (driver timeout, session kill, Ctrl-C at the
+# wrong instant) can leave a TRUNCATED entry, and XLA's executable
+# deserialization hard-aborts on it — `Fatal Python error: Aborted` inside
+# `compilation_cache.get_executable_and_time`, uncatchable from Python
+# (observed after an interrupted suite run; reproducibly fixed by wiping the
+# cache).  Sentinel protocol: every live pytest session drops
+# `.in_progress.<pid>`; at startup, any sentinel whose pid is dead means a
+# session died mid-run — wipe the cache once (a cold rebuild costs minutes,
+# the abort costs a debugging session) and clear stale sentinels.
+def _clean_dead_session_cache():
+    import glob
+    import shutil
+    stale = False
+    for path in glob.glob(os.path.join(_cache_dir, ".in_progress.*")):
+        try:
+            pid = int(path.rsplit(".", 1)[-1])
+        except ValueError:
+            stale = True
+            continue
+        if not os.path.exists(f"/proc/{pid}"):
+            stale = True
+    if stale:
+        shutil.rmtree(_cache_dir, ignore_errors=True)
+    os.makedirs(_cache_dir, exist_ok=True)
+    open(os.path.join(_cache_dir, f".in_progress.{os.getpid()}"), "w").close()
+
+
+_clean_dead_session_cache()
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        os.remove(os.path.join(_cache_dir, f".in_progress.{os.getpid()}"))
+    except OSError:
+        pass
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 

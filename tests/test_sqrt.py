@@ -213,13 +213,64 @@ class TestSqrtBQ:
         rel = np.abs(np.asarray(m32) - fm).max() / np.abs(fm).max()
         assert rel < 1e-2
 
-    def test_bq_smoothing_rejected(self, ungm):
+    @pytest.mark.parametrize("kind", ["gpq", "bsq", "tpq"])
+    def test_sqrt_bq_smoother_matches_full_f64(self, ungm, kind):
+        """BQ square-root RTS: the joint (x_pred, x_prev) factorization from
+        the closed-form columns [fx Wcc^T, fx W_hat, emv, noise] / [S, 0]
+        (W_hat W_hat^T = (Wc - wm wm^T) - Wcc^T Wcc, PSD as the Schur
+        complement of the joint covariance of (x, k(x))) must reproduce the
+        full-covariance textbook RTS."""
         from ssmtoybox_tpu.sqrt import make_sqrt_smoother
         dyn, obs, _, y = ungm
         kp = np.array([[1.0, 3.0]])
+        tfd, tfo = self._mk_tf(kind, 1, 1, kp), self._mk_tf(kind, 1, 1, kp)
+        res = st.ssinf.gaussian_filter(dyn, obs, tfd, tfo, y[..., 0])
+        sm_full, sP_full = st.ssinf.gaussian_smoother(res, rts_full=True)
+        smooth = make_sqrt_smoother(dyn, obs, tfd, tfo)
+        _, sm_m, sm_S = smooth(y[..., 0])
+        P = np.einsum("ijn,kjn->ikn", np.asarray(sm_S), np.asarray(sm_S))
+        np.testing.assert_allclose(np.asarray(sm_m), np.asarray(sm_full),
+                                   atol=1e-8, err_msg=kind)
+        np.testing.assert_allclose(P, np.asarray(sP_full), atol=1e-8, err_msg=kind)
+
+    def test_sqrt_bq_smoother_f32_reentry_stays_pd(self, reentry):
+        from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn, obs, _, y = reentry
+        kp = np.array([[1.0, 25, 25, 25, 25, 25]])          # gpq_tracking.py:50
+        tfd = GaussianProcessTransform.create(5, 5, kp, point_str="ut")
+        tfo = GaussianProcessTransform.create(5, 2, kp, point_str="ut")
+        res = st.ssinf.gaussian_filter(dyn, obs, tfd, tfo, y[..., 0])
+        sm_full, _ = st.ssinf.gaussian_smoother(res, rts_full=True)
+        smooth32 = make_sqrt_smoother(dyn, obs, tfd, tfo, dtype=jnp.float32)
+        _, sm_m, sm_S = smooth32(y[..., 0])
+        assert sm_m.dtype == jnp.float32
+        assert np.isfinite(np.asarray(sm_m)).all()
+        d = np.asarray(sm_S)[np.arange(5), np.arange(5), :]
+        assert (d > 0).all(), "BQ smoothed factor lost definiteness in f32"
+        fm = np.asarray(sm_full)
+        rel = np.abs(np.asarray(sm_m) - fm).max() / np.abs(fm).max()
+        assert rel < 1e-2
+
+    def test_fixed_lag_sqrt_bq_matches_offline(self, ungm):
+        from ssmtoybox_tpu.sqrt import (make_fixed_lag_sqrt_smoother,
+                                        make_sqrt_smoother)
+        dyn, obs, _, y = ungm
+        kp = np.array([[1.0, 3.0]])
         tfd, tfo = self._mk_tf("gpq", 1, 1, kp), self._mk_tf("gpq", 1, 1, kp)
-        with pytest.raises(TypeError, match="classical sigma-point rule"):
-            make_sqrt_smoother(dyn, obs, tfd, tfo)
+        lag, steps = 4, 10
+        data = jnp.asarray(y[..., 0][:, :steps])
+        init, step = make_fixed_lag_sqrt_smoother(dyn, obs, tfd, tfo, lag=lag,
+                                                  donate=False)
+        smooth = make_sqrt_smoother(dyn, obs, tfd, tfo)
+        state = init()
+        for n in range(1, steps + 1):
+            state, info, (sm_m, sm_S) = step(state, data[:, n - 1])
+            if n >= lag:
+                _, sm_all, sS_all = smooth(data[:, :n])
+                np.testing.assert_allclose(np.asarray(sm_m),
+                                           np.asarray(sm_all[:, n - lag]),
+                                           rtol=1e-9, atol=1e-9, err_msg=f"n={n}")
 
     def test_mo_transform_rejected(self, ungm):
         from ssmtoybox_tpu.bq.transforms import MultiOutputGaussianProcessTransform
