@@ -543,7 +543,9 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     of ``P_fi − G P_pr Gᵀ`` without ever forming a covariance; the backward
     pass is then one QR per step, ``S_sm = qr([R22, G·S_sm_next])`` — the
     array square-root RTS recursion, PD by construction in f32 like the
-    filter.  (The full-covariance smoother lives in
+    filter.  BQ dynamics transforms route through the closed-form joint
+    columns of :func:`_make_joint_factor_bq` instead of shared deviations
+    (module docstring).  (The full-covariance smoother lives in
     :func:`ssmtoybox_tpu.ssinf.gaussian_smoother`, which also reproduces the
     reference's off-by-one indexing; this one is textbook-only.)
     """

@@ -333,6 +333,14 @@ def test_iplf_with_bq_transform(pendulum_ut_ipls):
     # untuned GPQ lengthscales + expected-model-variance inflation cost
     # accuracy (measured 0.229 vs 0.098) but must stay in the same ballpark
     assert rmse(res.sm_mean) <= 3.0 * rmse(res_ut.sm_mean)
+    # sqrt=True composes: the f32 square-root scans factor the SLR residual
+    # Omega (which includes the EMV term) like any other noise columns
+    res32 = iterated_parallel_smoother(dyn, obs, tf_dyn, tf_obs, y,
+                                       iterations=3, sqrt=True,
+                                       dtype=jnp.float32)
+    assert bool(jnp.isfinite(res32.sm_mean).all())
+    d = float(jnp.max(jnp.abs(res32.sm_mean.astype(jnp.float64) - res.sm_mean)))
+    assert d < 1e-3, f"sqrt-f32 BQ IPLS drifted {d} from full-cov f64"
 
 
 def test_sqrt_mode_matches_full_cov_on_linear_model():
