@@ -159,6 +159,22 @@ def _clear_jax_caches_between_modules():
 
 
 @pytest.fixture
+def fresh_executable_state():
+    """Drop accumulated live executables before compiling a VERY large
+    program.  History: the vmapped marginalized-filter compile aborted
+    inside XLA executable (de)serialization (`Fatal Python error: Aborted`
+    in the persistent-cache read in one run, the write in another) ONLY
+    late in the full suite — never standalone and never right after a
+    clear — i.e. the failure needs hundreds of accumulated live
+    executables, like the historical late-run ``backend_compile_and_load``
+    segfault the RSS gate above mitigates.  Clearing first keeps the giant
+    compile within safe state; the disk cache makes the dropped warm
+    programs cheap to restore."""
+    jax.clear_caches()
+    yield
+
+
+@pytest.fixture
 def unrolled_linalg():
     """Force the unrolled small-linalg kernels for a test.
 

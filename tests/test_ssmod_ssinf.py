@@ -435,7 +435,7 @@ class TestCompiledMarginal:
         sm_c, sP_c = alg.backward_pass(rts_full=True)
         assert bool(jnp.isfinite(sm_c).all()) and bool(jnp.isfinite(sP_c).all())
 
-    def test_compiled_marginal_vmaps(self, ungm):
+    def test_compiled_marginal_vmaps(self, ungm, fresh_executable_state):
         """The compiled variant batches over trajectories."""
         dyn, obs = ungm
         x = dyn.simulate_discrete(jax.random.PRNGKey(8), steps=5, mc_sims=3)
@@ -449,7 +449,7 @@ class TestCompiledMarginal:
         assert fm.shape == (3, 1, 5)
         assert bool(jnp.isfinite(fm).all())
 
-    def test_forward_pass_batch_is_marginalized(self, ungm):
+    def test_forward_pass_batch_is_marginalized(self, ungm, fresh_executable_state):
         """MarginalInference.forward_pass_batch must run the MARGINALIZED
         compiled filter per trajectory (the inherited plain-Gaussian batch
         would silently filter with fixed default parameters) — each batch
