@@ -140,8 +140,10 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
     factorization and a ``cross(S_in, dX_in, fx, dfx) -> P_xy`` cross-
     covariance, for classical sigma-point rules and single-output BQ
     transforms alike.  Returns ``(pts, wm, factor, cross, statics)`` where
-    ``statics`` carries the classical-rule arrays the smoothers' joint
-    factorization needs (``None`` for BQ).
+    ``statics`` carries the arrays the smoothers' joint factorization needs
+    (deviation weights for classical rules; ``bq=True`` plus the
+    ``Wcc``-transpose / residual-factor / EMV-column pieces for BQ, consumed
+    by :func:`_make_joint_factor_bq`).
 
     ``state_dim`` trims the BQ cross-covariance weight rows for NON-additive
     models (augmented input: ``Wcc`` spans dim_in rows but the gain needs
