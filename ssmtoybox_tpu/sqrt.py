@@ -181,17 +181,6 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
         Wcc = np.asarray(tf.Wcc)                        # (dim_in, N), = R iK
         if state_dim is not None:
             Wcc = Wcc[:state_dim]                       # augmented-input trim
-        # joint residual factor for SMOOTHING: the conditional covariance
-        # weight (Wc - wm wm^T) - Wcc^T Wcc = iK (Q - q q^T - R^T R) iK is
-        # the Schur complement of the joint covariance of (x, k(x)) under
-        # x ~ N(0, I), hence PSD by construction (trimming Wcc rows only
-        # shrinks the subtrahend); its factor W_hat closes the joint
-        # (x_prev, x_pred) factorization for BQ dynamics with NO downdates:
-        # top = [fx Wcc^T, fx W_hat, emv, noise], bot = [S, 0, 0, 0]
-        C2 = C - Wcc.T @ Wcc
-        C2 = (C2 + C2.T) / 2.0
-        s2, v2 = np.linalg.eigh(C2)
-        W_hat = v2 * np.sqrt(np.clip(s2, 0.0, None))[None, :]
         # EMV >= 0 in any sane configuration; clip so a slightly negative
         # trace residual (1 - tr(Q iK) < 0) degrades to "no inflation"
         # instead of a NaN column (full-covariance path would subtract it)
@@ -232,8 +221,11 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
             # analytically, so parity with the full path holds to round-off
             return small_mm3(S_in, Wcc_, jnp.swapaxes(fx, -1, -2))
 
-        statics = dict(bq=True, WccT_b=cast(Wcc.T), W_hat_b=cast(W_hat),
-                       emv_cols_b=emv_cols)
+        # raw np pieces only — the smoothers' joint factorization derives its
+        # residual factor W_hat from them lazily (_make_joint_factor_bq), so
+        # filter-only builds pay nothing for the smoothing machinery
+        statics = dict(bq=True, C_np=C, Wcc_np=Wcc, emv_cols_b=emv_cols,
+                       cast_b=cast)
         return pts_, wm_, factor, cross, statics
 
     raise TypeError(
@@ -363,12 +355,13 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
         y_pr, S_yy, m_fi, S_fi = meas_core(m_pr, S_pr, y, k)
         return m_pr, S_pr, y_pr, S_yy, m_fi, S_fi
 
-    statics = dict(statics_d or {}, Sq=Sq_)
-    is_bq_dyn = statics_d is not None and statics_d.get("bq", False)
+    # _transform_core always returns a statics dict (it raises on anything
+    # that is neither a classical rule nor a single-output BQ transform)
+    statics = dict(statics_d, Sq=Sq_)
+    is_bq_dyn = statics_d.get("bq", False)
     cores = dict(step=step_core, time=time_core, time_dev=time_dev,
                  meas=meas_core, statics=statics,
-                 classical_dyn=statics_d is not None and not is_bq_dyn,
-                 bq_dyn=is_bq_dyn)
+                 classical_dyn=not is_bq_dyn, bq_dyn=is_bq_dyn)
     return cores, cast, m0_np, S0_np, dim_y
 
 
@@ -481,8 +474,17 @@ def _make_joint_factor_bq(st_, dim):
     bot·bot^T = P_fi — one QR, no downdates, PD by construction like the
     classical path.
     """
-    WccT_, W_hat_, emv_cols, Sq_ = (st_["WccT_b"], st_["W_hat_b"],
-                                    st_["emv_cols_b"], st_["Sq"])
+    # Derive the residual factor here (not at _transform_core build time) so
+    # filter-only paths never pay for the smoothing machinery; eigh-clip
+    # absorbs the round-off negatives PSD-by-construction leaves in f64,
+    # like the L_w build.
+    C2 = st_["C_np"] - st_["Wcc_np"].T @ st_["Wcc_np"]
+    C2 = (C2 + C2.T) / 2.0
+    s2, v2 = np.linalg.eigh(C2)
+    cast_b = st_["cast_b"]
+    WccT_ = cast_b(st_["Wcc_np"].T)
+    W_hat_ = cast_b(v2 * np.sqrt(np.clip(s2, 0.0, None))[None, :])
+    emv_cols, Sq_ = st_["emv_cols_b"], st_["Sq"]
 
     def joint_factor(fX, S):
         A1 = small_matmul(fX, WccT_.astype(fX.dtype))       # (D, D)
@@ -656,12 +658,12 @@ class SquareRootKalman:
     reconstituted as ``S S^T`` for drop-in comparison.  Pass
     ``dtype=jnp.float32`` for the TPU fast path.
 
-    BQ filtering in factor form: pass prebuilt transforms instead of a rule
-    string, e.g. ``SquareRootKalman(dyn, obs,
+    BQ filtering AND smoothing in factor form: pass prebuilt transforms
+    instead of a rule string, e.g. ``SquareRootKalman(dyn, obs,
     tf_dyn=GaussianProcessTransform.create(...), tf_obs=...)`` — the f32
     square-root twin of ``GaussianProcessKalman``/``BayesSardKalman``/
-    ``StudentProcessKalman`` (filtering only; BQ smoothing stays on the
-    full-covariance path).
+    ``StudentProcessKalman``; ``smooth()`` routes BQ dynamics through the
+    closed-form joint factorization (module docstring).
     """
 
     SUPPORTED_POINTS = ("sr", "ut", "gh", "fs")

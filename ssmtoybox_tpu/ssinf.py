@@ -181,11 +181,19 @@ def slr_affine(tf, f, mean, cov, time, theta=None):
     return A, b, Omega
 
 
+def _scan_unroll(unroll: int | None) -> int:
+    """Resolve the time-loop ``lax.scan`` unroll: explicit argument, else env
+    ``SSMTPU_SCAN_UNROLL``, else 1 (see :func:`gaussian_filter`)."""
+    if unroll is None:
+        return int(os.environ.get("SSMTPU_SCAN_UNROLL", "1"))
+    return unroll
+
+
 def iterated_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                              iterations: int = 5,
                              init_mean=None, init_cov=None,
                              theta_dyn=None, theta_obs=None,
-                             unroll: int = None) -> FilterResult:
+                             unroll: int | None = None) -> FilterResult:
     """Iterated posterior-linearization filter (IPLF) as one ``lax.scan``.
 
     Garcia-Fernandez, Svensson, Morelande & Sarkka (IEEE TSP 2015): the
@@ -242,10 +250,8 @@ def iterated_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         return (m_fi, P_fi), (m_pr, P_pr, xx, m_fi, P_fi)
 
     ks = jnp.arange(1, n_steps + 1)
-    if unroll is None:
-        unroll = int(os.environ.get("SSMTPU_SCAN_UNROLL", "1"))
     _, (pr_m, pr_P, pr_xx, fi_m, fi_P) = jax.lax.scan(
-        step, (m0, P0), (data.T, ks), unroll=unroll)
+        step, (m0, P0), (data.T, ks), unroll=_scan_unroll(unroll))
     return FilterResult(
         fi_mean=jnp.moveaxis(fi_m, 0, -1),
         fi_cov=jnp.moveaxis(fi_P, 0, -1),
@@ -258,7 +264,7 @@ def iterated_gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
 def gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                     init_mean=None, init_cov=None,
                     theta_dyn=None, theta_obs=None,
-                    unroll: int = None) -> FilterResult:
+                    unroll: int | None = None) -> FilterResult:
     """Run the full Gaussian forward pass as one ``lax.scan``.
 
     Equivalent to ``StateSpaceInference.forward_pass`` (``ssinf.py:66-118``).
@@ -292,10 +298,8 @@ def gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         return (m_fi, P_fi), (m_pr, P_pr, xx, m_fi, P_fi)
 
     ks = jnp.arange(1, n_steps + 1)
-    if unroll is None:
-        unroll = int(os.environ.get("SSMTPU_SCAN_UNROLL", "1"))
     _, (pr_m, pr_P, pr_xx, fi_m, fi_P) = jax.lax.scan(
-        step, (m0, P0), (data.T, ks), unroll=unroll)
+        step, (m0, P0), (data.T, ks), unroll=_scan_unroll(unroll))
     return FilterResult(
         fi_mean=jnp.moveaxis(fi_m, 0, -1),
         fi_cov=jnp.moveaxis(fi_P, 0, -1),
@@ -366,7 +370,7 @@ def gaussian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
 
 def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                       dof: float = 4.0, fixed_dof: bool = True,
-                      unroll: int = None) -> StudentFilterResult:
+                      unroll: int | None = None) -> StudentFilterResult:
     """Student-t forward pass (``ssinf.py:555-736``) as one ``lax.scan``.
 
     Tracks the filtered mean, the (pseudo-)covariance, the scale matrix and
@@ -450,10 +454,8 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
 
     ks = jnp.arange(1, n_steps + 1)
     init = (x0_mean, x_smat_0, jnp.asarray(x0_dof, dtype=x0_mean.dtype))
-    if unroll is None:
-        unroll = int(os.environ.get("SSMTPU_SCAN_UNROLL", "1"))
     _, (fi_m, fi_P, fi_S, dofs, pr_m, pr_S, pr_xx) = jax.lax.scan(
-        step, init, (data.T, ks), unroll=unroll)
+        step, init, (data.T, ks), unroll=_scan_unroll(unroll))
     return StudentFilterResult(
         fi_mean=jnp.moveaxis(fi_m, 0, -1),
         fi_cov=jnp.moveaxis(fi_P, 0, -1),

@@ -65,22 +65,48 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_compilation_cache")
 # `.in_progress.<pid>`; at startup, any sentinel whose pid is dead means a
 # session died mid-run — wipe the cache once (a cold rebuild costs minutes,
 # the abort costs a debugging session) and clear stale sentinels.
+def _proc_start_time(pid: int) -> str | None:
+    """Kernel start time of ``pid`` (field 22 of /proc/<pid>/stat) — pid
+    liveness alone is not enough, a recycled pid would mask a dead session."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            # field 2 (comm) may contain spaces/parens; parse from the right
+            return f.read().rsplit(")", 1)[-1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
 def _clean_dead_session_cache():
     import glob
-    import shutil
-    stale = False
+    stale, live = False, []
     for path in glob.glob(os.path.join(_cache_dir, ".in_progress.*")):
         try:
             pid = int(path.rsplit(".", 1)[-1])
-        except ValueError:
+            with open(path) as f:
+                recorded_start = f.read().strip()
+        except (ValueError, OSError):
             stale = True
             continue
-        if not os.path.exists(f"/proc/{pid}"):
+        if recorded_start and _proc_start_time(pid) == recorded_start:
+            live.append(path)          # genuinely running concurrent session
+        else:
             stale = True
     if stale:
-        shutil.rmtree(_cache_dir, ignore_errors=True)
+        # remove cache ENTRIES but leave live sessions' sentinels (and their
+        # right to keep running) intact — never rmtree the whole dir, a
+        # concurrent session may be mid-write and must keep its sentinel so
+        # ITS death is still detectable
+        keep = set(live)
+        for path in glob.glob(os.path.join(_cache_dir, "*")) + \
+                glob.glob(os.path.join(_cache_dir, ".in_progress.*")):
+            if path not in keep:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
     os.makedirs(_cache_dir, exist_ok=True)
-    open(os.path.join(_cache_dir, f".in_progress.{os.getpid()}"), "w").close()
+    with open(os.path.join(_cache_dir, f".in_progress.{os.getpid()}"), "w") as f:
+        f.write(_proc_start_time(os.getpid()) or "")
 
 
 _clean_dead_session_cache()
