@@ -365,15 +365,19 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     return cores, cast, m0_np, S0_np, dim_y
 
 
-def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
+def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None,
+                     unroll: int | None = None):
     """Build a jitted square-root Gaussian filter for additive-noise models.
 
     Returns ``filter_fn(data, init_mean=None, init_sqrt=None) ->
     SqrtFilterResult`` over a (dim_y, N) record; vmap it for MC batches.
     ``dtype`` casts the whole recursion (e.g. ``jnp.float32`` for the TPU
     fast path) — the factor form keeps f32 stable where the plain recursion
-    needs f64.
+    needs f64.  ``unroll`` amortizes scan dispatch like
+    :func:`ssmtoybox_tpu.ssinf.gaussian_filter` (env ``SSMTPU_SCAN_UNROLL``).
     """
+    from .ssinf import _scan_unroll
+    unroll = _scan_unroll(unroll)
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
     step_core = cores["step"]
@@ -392,7 +396,8 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
             return (m_fi, S_fi), (m_pr, S_pr, m_fi, S_fi)
 
         ks = jnp.arange(1, n_steps + 1)
-        _, (pr_m, pr_S, fi_m, fi_S) = jax.lax.scan(step, (m0, S0), (data_.T, ks))
+        _, (pr_m, pr_S, fi_m, fi_S) = jax.lax.scan(step, (m0, S0), (data_.T, ks),
+                                                   unroll=unroll)
         return SqrtFilterResult(
             fi_mean=jnp.moveaxis(fi_m, 0, -1),
             fi_sqrt=jnp.moveaxis(fi_S, 0, -1),
@@ -534,7 +539,8 @@ def _make_predict_joint(cores, time_dev, dim):
     return predict_joint
 
 
-def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
+def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None,
+                       unroll: int | None = None):
     """Build a jitted square-root RTS smoother (textbook indexing).
 
     Returns ``smooth_fn(data) -> (SqrtFilterResult, sm_mean (D, N), sm_sqrt
@@ -553,6 +559,8 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
     :func:`ssmtoybox_tpu.ssinf.gaussian_smoother`, which also reproduces the
     reference's off-by-one indexing; this one is textbook-only.)
     """
+    from .ssinf import _scan_unroll
+    unroll = _scan_unroll(unroll)
     cores, cast, m0_np, S0_np, _ = _sqrt_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dtype)
     time_dev, meas_core = cores["time_dev"], cores["meas"]
@@ -575,7 +583,7 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
 
         ks = jnp.arange(1, n_steps + 1)
         _, (pr_m, pr_S, fi_m, fi_S, Gs, R22s) = jax.lax.scan(
-            fstep, (m0, S0), (data_.T, ks))
+            fstep, (m0, S0), (data_.T, ks), unroll=unroll)
 
         def bstep(carry, inp):
             m_sm_next, S_sm_next = carry
@@ -586,7 +594,8 @@ def make_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None):
             return (m_sm, S_sm), (m_sm, S_sm)
 
         xs = (fi_m[:-1], Gs[1:], R22s[1:], pr_m[1:])
-        _, (sm_m, sm_S) = jax.lax.scan(bstep, (fi_m[-1], fi_S[-1]), xs, reverse=True)
+        _, (sm_m, sm_S) = jax.lax.scan(bstep, (fi_m[-1], fi_S[-1]), xs,
+                                       reverse=True, unroll=unroll)
         sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
         sm_S = jnp.concatenate([sm_S, fi_S[-1:]], axis=0)
 
