@@ -309,7 +309,8 @@ def gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     )
 
 
-def gaussian_smoother(result: FilterResult, rts_full: bool = False):
+def gaussian_smoother(result: FilterResult, rts_full: bool = False,
+                      unroll: int | None = None):
     """RTS backward pass over stacked forward moments (``ssinf.py:120-147``).
 
     With ``rts_full=False`` (default) the reference's indexing is reproduced
@@ -336,7 +337,8 @@ def gaussian_smoother(result: FilterResult, rts_full: bool = False):
         # smooth indices n-2 .. 0 seeded from the last filtered estimate
         xs = (fi_m[:-1], fi_P[:-1], pr_m[1:], pr_P[1:], pr_xx[1:])
         init = (fi_m[-1], fi_P[-1])
-        _, (sm_m, sm_P) = jax.lax.scan(step, init, xs, reverse=True)
+        _, (sm_m, sm_P) = jax.lax.scan(step, init, xs, reverse=True,
+                                       unroll=_scan_unroll(unroll))
         sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
         sm_P = jnp.concatenate([sm_P, fi_P[-1:]], axis=0)
     else:
@@ -344,7 +346,8 @@ def gaussian_smoother(result: FilterResult, rts_full: bool = False):
         # paired with predictive moments of step n-2 (ssinf.py:137-145)
         xs = (fi_m[:n - 2], fi_P[:n - 2], pr_m[1:n - 1], pr_P[1:n - 1], pr_xx[1:n - 1])
         init = (fi_m[-1], fi_P[-1])
-        _, (sm_m, sm_P) = jax.lax.scan(step, init, xs, reverse=True)
+        _, (sm_m, sm_P) = jax.lax.scan(step, init, xs, reverse=True,
+                                       unroll=_scan_unroll(unroll))
         sm_m = jnp.concatenate([sm_m, fi_m[n - 2:]], axis=0)
         sm_P = jnp.concatenate([sm_P, fi_P[n - 2:]], axis=0)
 
@@ -467,7 +470,8 @@ def studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     )
 
 
-def studentian_smoother(result: StudentFilterResult, rts_full: bool = False):
+def studentian_smoother(result: StudentFilterResult, rts_full: bool = False,
+                        unroll: int | None = None):
     """Student-t RTS backward pass on SCALE matrices (beyond-parity feature:
     the reference leaves its Student smoother unimplemented,
     ``ssinf.py:738-740``).
@@ -507,13 +511,15 @@ def studentian_smoother(result: StudentFilterResult, rts_full: bool = False):
     if rts_full:
         xs = (fi_m[:-1], fi_S[:-1], pr_m[1:], pr_S[1:], pr_xx[1:])
         init = (fi_m[-1], fi_S[-1])
-        _, (sm_m, sm_S) = jax.lax.scan(step, init, xs, reverse=True)
+        _, (sm_m, sm_S) = jax.lax.scan(step, init, xs, reverse=True,
+                                       unroll=_scan_unroll(unroll))
         sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
         sm_S = jnp.concatenate([sm_S, fi_S[-1:]], axis=0)
     else:
         xs = (fi_m[:n - 2], fi_S[:n - 2], pr_m[1:n - 1], pr_S[1:n - 1], pr_xx[1:n - 1])
         init = (fi_m[-1], fi_S[-1])
-        _, (sm_m, sm_S) = jax.lax.scan(step, init, xs, reverse=True)
+        _, (sm_m, sm_S) = jax.lax.scan(step, init, xs, reverse=True,
+                                       unroll=_scan_unroll(unroll))
         sm_m = jnp.concatenate([sm_m, fi_m[n - 2:]], axis=0)
         sm_S = jnp.concatenate([sm_S, fi_S[n - 2:]], axis=0)
 
