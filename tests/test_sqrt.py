@@ -252,6 +252,35 @@ class TestSqrtBQ:
         rel = np.abs(np.asarray(sm_m) - fm).max() / np.abs(fm).max()
         assert rel < 1e-2
 
+    def test_sqrt_bq_smoother_nonadditive(self):
+        """The trimmed-Wcc branch of the BQ joint factorization: non-additive
+        dynamics augment the input (dim_in = 2), Wcc is row-trimmed to the
+        state block, and the residual (Wc - wm wm^T) - Wcc_trim^T Wcc_trim
+        stays PSD (trimming only shrinks the subtrahend). Offset init mean
+        avoids the degenerate bilinear-measurement singularity; parity with
+        the full-covariance path is bounded by the sqrt path's 1e-9
+        innovation-jitter floor (see test_nonadditive_matches_full_covariance)."""
+        from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn = UNGMNATransition.create(
+            GaussRV.create(1, mean=jnp.array([2.0]), cov=1.0),
+            GaussRV.create(1, cov=1.0))
+        obs = UNGMNAMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(4), steps=50, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(5), x)[..., 0]
+        kp2 = np.array([[1.0, 3.0, 3.0]])
+        tfd = GaussianProcessTransform.create(2, 1, kp2, point_str="ut")
+        tfo = GaussianProcessTransform.create(2, 1, kp2, point_str="ut")
+        res = st.ssinf.gaussian_filter(dyn, obs, tfd, tfo, y)
+        sm_full, sP_full = st.ssinf.gaussian_smoother(res, rts_full=True)
+        _, sm_m, sm_S = make_sqrt_smoother(dyn, obs, tfd, tfo)(y)
+        np.testing.assert_allclose(np.asarray(sm_m), np.asarray(sm_full),
+                                   rtol=1e-3, atol=1e-3)
+        P = np.einsum("ijn,kjn->ikn", np.asarray(sm_S), np.asarray(sm_S))
+        np.testing.assert_allclose(P, np.asarray(sP_full), rtol=1e-2, atol=1e-3)
+        d = np.asarray(sm_S)[0, 0, :]
+        assert (d > 0).all()
+
     def test_fixed_lag_sqrt_bq_matches_offline(self, ungm):
         from ssmtoybox_tpu.sqrt import (make_fixed_lag_sqrt_smoother,
                                         make_sqrt_smoother)
