@@ -41,7 +41,16 @@ def _timed(thunk):
     return time.perf_counter() - t0
 
 
-def tpu_run():
+def tpu_run(try_unrolls=(1, 8)):
+    """Run the three study workloads; returns (total_wallclock, y, y_re).
+
+    ``try_unrolls``: per workload, compile one variant per scan-unroll value
+    and keep the fastest — the sequential time loop is dispatch-bound on TPU
+    (docs/performance.md), and the best amortization factor is
+    hardware-dependent, so bench self-tunes instead of baking a guess.  All
+    variants compute identical results (unroll only restructures the loop);
+    the CPU fallback passes (1,) since it is compute-bound and flat there.
+    """
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -52,6 +61,25 @@ def tpu_run():
 
     log("devices:", jax.devices())
 
+    def best_variant(make_run, args, label):
+        """min-of-3 wall-clock over scan-unroll variants; completion forced
+        by a scalar fetch (block_until_ready can return early through the
+        TPU tunnel).  Returns (best wall-clock, first variant's output —
+        identical across variants up to reassociation rounding)."""
+        best_t, best_u, out0 = None, None, None
+        for u in try_unrolls:
+            run = make_run(u)
+            out = run(*args)                           # compile + warmup
+            float(jnp.sum(out))
+            if out0 is None:
+                out0 = out
+            t = min(_timed(lambda: float(jnp.sum(run(*args)))) for _ in range(3))
+            if best_t is None or t < best_t:
+                best_t, best_u = t, u
+        if len(try_unrolls) > 1:
+            log(f"{label}: unroll={best_u} wins ({best_t:.3f}s)")
+        return best_t, out0
+
     # ---------------- UNGM ----------------
     dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
     obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
@@ -61,15 +89,11 @@ def tpu_run():
     ys = jnp.moveaxis(y, -1, 0)                      # (M, 1, N)
     ukf = st.UnscentedKalman(dyn, obs)
 
-    run_ungm = jax.jit(lambda md, mo, td, to, b: jax.vmap(
-        lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
-    # compile + warmup; NOTE: completion is forced by fetching a scalar
-    # reduction — block_until_ready can return early through the TPU tunnel
-    out = run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)
-    float(jnp.sum(out))
-    t_ungm = min(_timed(lambda: float(jnp.sum(
-        run_ungm(dyn, obs, ukf.tf_dyn, ukf.tf_obs, ys)))) for _ in range(3))
-    # `out` from the warmup call above is the same pure function on the same
+    make_ungm = lambda u: jax.jit(lambda b: jax.vmap(
+        lambda yy: st.gaussian_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs, yy,
+                                      unroll=u))(b).fi_mean)
+    t_ungm, out = best_variant(make_ungm, (ys,), "UNGM UKF")
+    # `out` from the warmup call is the same pure function on the same
     # inputs — no need to burn another full 10k-batch pass for the RMSE line
     rmse_ungm = float(jnp.sqrt(jnp.mean((jnp.moveaxis(x, -1, 0) - out) ** 2)))
     log(f"UNGM UKF {MC_RUNS}x{UNGM_STEPS} f64: {t_ungm:.3f}s (RMSE {rmse_ungm:.3f})")
@@ -87,12 +111,10 @@ def tpu_run():
     ys_re = jnp.moveaxis(y_re, -1, 0)
     ukf_re = st.UnscentedKalman(dyn_re, obs_re)
 
-    run_re = jax.jit(lambda md, mo, td, to, b: jax.vmap(
-        lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
-    out_re = run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)
-    float(jnp.sum(out_re))
-    t_re = min(_timed(lambda: float(jnp.sum(
-        run_re(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, ys_re)))) for _ in range(3))
+    make_re = lambda u: jax.jit(lambda b: jax.vmap(
+        lambda yy: st.gaussian_filter(dyn_re, obs_re, ukf_re.tf_dyn,
+                                      ukf_re.tf_obs, yy, unroll=u))(b).fi_mean)
+    t_re, _ = best_variant(make_re, (ys_re,), "Reentry UKF")
     log(f"Reentry UKF {MC_RUNS}x{REENTRY_STEPS} f64: {t_re:.3f}s")
 
     # ---------------- BQ filter (GPQKF) on the same UNGM study -------------
@@ -100,12 +122,10 @@ def tpu_run():
     # d'etre, so the reported wall-clock covers it end-to-end
     gpq = st.GaussianProcessKalman(dyn, obs, np.array([[1.0, 3.0]]),
                                    np.array([[1.0, 3.0]]), points="ut")
-    run_gpq = jax.jit(lambda md, mo, td, to, b: jax.vmap(
-        lambda yy: st.gaussian_filter(md, mo, td, to, yy))(b).fi_mean)
-    out_g = run_gpq(dyn, obs, gpq.tf_dyn, gpq.tf_obs, ys)
-    float(jnp.sum(out_g))
-    t_gpq = min(_timed(lambda: float(jnp.sum(
-        run_gpq(dyn, obs, gpq.tf_dyn, gpq.tf_obs, ys)))) for _ in range(3))
+    make_gpq = lambda u: jax.jit(lambda b: jax.vmap(
+        lambda yy: st.gaussian_filter(dyn, obs, gpq.tf_dyn, gpq.tf_obs, yy,
+                                      unroll=u))(b).fi_mean)
+    t_gpq, _ = best_variant(make_gpq, (ys,), "UNGM GPQKF")
     log(f"UNGM GPQKF {MC_RUNS}x{UNGM_STEPS} f64: {t_gpq:.3f}s")
 
     # keep the same y data for the baseline comparison subsets
@@ -330,7 +350,9 @@ def main():
         _arm_watchdog()
         log(f"CPU FALLBACK: TPU tunnel unavailable; running mc={MC_RUNS} on "
             "the CPU backend with a renamed metric")
-    t_tpu, y_np, y_re_np = tpu_run()
+    # CPU is compute-bound (unroll flat, docs/performance.md) — skip the
+    # second variant's compile there; on TPU self-tune over unroll 1 vs 8
+    t_tpu, y_np, y_re_np = tpu_run(try_unrolls=(1,) if cpu_fallback else (1, 8))
     try:
         if os.path.isdir("/root/reference"):
             t_base = baseline_reference(y_np, y_re_np)
