@@ -28,7 +28,8 @@ from .mtran import (
     FullySymmetricStudentTransform, TaylorGPQDTransform,
 )
 from .sqrt import (SquareRootKalman, make_sqrt_filter, make_sqrt_smoother,
-                   SqrtFilterResult)
+                   SqrtFilterResult, SquareRootStudent,
+                   make_sqrt_studentian_filter, SqrtStudentFilterResult)
 from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
@@ -60,4 +61,5 @@ __all__ = [
     "studentian_smoother",
     "IteratedPosteriorLinearizationKalman", "iterated_gaussian_filter", "slr_affine",
     "SquareRootKalman", "make_sqrt_filter", "make_sqrt_smoother", "SqrtFilterResult",
+    "SquareRootStudent", "make_sqrt_studentian_filter", "SqrtStudentFilterResult",
 ]

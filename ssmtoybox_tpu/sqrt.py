@@ -22,6 +22,15 @@ constant).  Negative covariance weights (UT with ``kappa < 0``) are handled
 with static rank-1 Cholesky downdates
 (:func:`~ssmtoybox_tpu.utils.linalg.cholupdate_small`).
 
+STUDENT-t filtering runs in factor form too (:func:`make_sqrt_studentian_
+filter` / :class:`SquareRootStudent` / :func:`make_online_sqrt_student_
+filter`): the Student recursion is the Gaussian algebra on SCALE matrices
+plus two scalars — the predictive scale ``(nu-2)/nu`` (a column multiplier
+on the transform output) and the posterior rescale ``(nu + d^T d)/(nu +
+dim_y)`` (a scalar on the downdated factor, with ``d`` one triangular solve
+against the innovation factor) — so outlier-robust FSQ/GPQ-Student/TPQ
+serving gets the same PD-by-construction f32 path.
+
 BQ transforms carry a dense covariance-weight matrix ``Wc`` plus an
 expected-model-variance (EMV) term (``bqmtran.py:178-201``), which looks
 square-root-hostile — but the BQ output covariance
@@ -72,7 +81,9 @@ from .utils.linalg import (cholupdate_small, small_matmul, small_mm3,
 __all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
            "SquareRootKalman", "SqrtOnlineState", "SqrtStepInfo",
            "make_online_sqrt_filter", "FixedLagSqrtState",
-           "make_fixed_lag_sqrt_smoother"]
+           "make_fixed_lag_sqrt_smoother", "SqrtStudentFilterResult",
+           "make_sqrt_studentian_filter", "SqrtStudentOnlineState",
+           "make_online_sqrt_student_filter", "SquareRootStudent"]
 
 
 class SqrtFilterResult(struct.PyTreeNode):
@@ -124,6 +135,13 @@ def _psd_chol(P: np.ndarray) -> np.ndarray:
         return v * np.sqrt(np.clip(w, 0.0, None))[None, :]
 
 
+def _jit_cols(d_: int) -> np.ndarray:
+    """Jitter floor columns for non-additive models whose factorized
+    covariances can be exactly singular (see the augmentation note in
+    :func:`_sqrt_machinery`)."""
+    return np.sqrt(1e-9) * np.eye(d_)
+
+
 def _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg_idx):
     """Factor of ``dev diag(wc) dev^T + noise_cols noise_cols^T``: QR over the
     positively-weighted columns, rank-1 downdates for the (statically known)
@@ -158,8 +176,15 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
         xi_, wm_, wc_ = cast(xi), cast(wm), cast(wc)
         sqrt_pos = cast(np.sqrt(np.clip(wc, 0.0, None)))[None, :]
 
-        def factor(fx, dfx, noise_cols):
-            return _sqrt_from_deviations(dfx, sqrt_pos, noise_cols, wc, neg)
+        def factor(fx, dfx, noise_cols, out_sqrt_scale=None):
+            # out_sqrt_scale scales the TRANSFORM-output columns only (the
+            # Student recursion multiplies the transform covariance by a
+            # per-step scalar before adding the scale-form noise term,
+            # ssinf.py:662-698); scaling the deviations scales the negative-
+            # weight downdates identically, so the result is exactly
+            # scale * (sum_i wc_i dfx_i dfx_i^T) + noise noise^T
+            dev = dfx if out_sqrt_scale is None else dfx * out_sqrt_scale
+            return _sqrt_from_deviations(dev, sqrt_pos, noise_cols, wc, neg)
 
         def cross(S_in, dX_in, fx, dfx):
             return small_matmul(dX_in * wc_[None, :], jnp.swapaxes(dfx, -1, -2))
@@ -208,12 +233,20 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
                 e = fx.shape[-2]
                 return sqrt_emv * jnp.eye(e, dtype=fx.dtype)
 
-        def factor(fx, dfx, noise_cols):
-            cols = jnp.concatenate(
+        def factor(fx, dfx, noise_cols, out_sqrt_scale=None):
+            # transform-output columns (weight factor + EMV); out_sqrt_scale
+            # multiplies ONLY these — the Student recursion scales the whole
+            # BQ output covariance (EMV included, via tf.apply) by a per-step
+            # scalar and adds the scale-form noise separately.  emv_cols is
+            # evaluated on the RAW fx: TPQ's data-dependent EMV scale reads
+            # the unscaled function values, exactly like the full path.
+            tcols = jnp.concatenate(
                 [small_matmul(fx, L_w_),
-                 emv_cols(fx) + jnp.zeros(fx.shape[:-2] + (1, 1), fx.dtype),
-                 noise_cols], axis=-1)
-            return _qr_factor(cols)
+                 emv_cols(fx) + jnp.zeros(fx.shape[:-2] + (1, 1), fx.dtype)],
+                axis=-1)
+            if out_sqrt_scale is not None:
+                tcols = tcols * out_sqrt_scale
+            return _qr_factor(jnp.concatenate([tcols, noise_cols], axis=-1))
 
         def cross(S_in, dX_in, fx, dfx):
             # reference cross-covariance is UNCENTERED: chol R iK fx^T
@@ -271,7 +304,6 @@ def _sqrt_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype):
     # columns ``sqrt(1e-9) I`` floor the factors the way the additive
     # noise factor does naturally.  (The full-covariance path inherits the
     # reference's unjittered solve and its luck-of-rounding behavior there.)
-    _jit_cols = lambda d_: np.sqrt(1e-9) * np.eye(d_)
     if mod_dyn.noise_additive:
         Sq_ = cast(G @ _psd_chol(q_cov))          # (D, dim_q) noise columns
         q_mean_ = None
@@ -824,3 +856,313 @@ def make_fixed_lag_sqrt_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, lag: int,
 
     return streaming_api(FixedLagSqrtState, _leaves, _one, batch, donate,
                          cast=cast)
+
+
+# ---------------------------------------------------------------------------
+# Square-root STUDENTIAN filtering — f32 outlier-robust serving
+# ---------------------------------------------------------------------------
+
+class SqrtStudentFilterResult(struct.PyTreeNode):
+    """Stacked square-root Student forward-pass moments (state-dim first,
+    time last) — the factor-form twin of
+    :class:`ssmtoybox_tpu.ssinf.StudentFilterResult`.
+
+    ``fi_smat_sqrt`` holds lower Cholesky factors of the filtered SCALE
+    matrices; ``fi_cov_sqrt`` factors the pre-rescale matrix the reference
+    stores as the filtered "covariance" (its FIXME at ``ssinf.py:726-727`` —
+    kept for drop-in parity); ``dof_fi`` is the accumulated degrees of
+    freedom.  The MOMENT covariance of the filtered Student marginal is
+    ``dof/(dof - 2) * S S^T`` with the matching ``dof_fi`` entry."""
+
+    fi_mean: jax.Array
+    fi_cov_sqrt: jax.Array
+    fi_smat_sqrt: jax.Array
+    dof_fi: jax.Array
+    pr_mean: jax.Array
+    pr_smat_sqrt: jax.Array
+
+
+def _sqrt_student_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof,
+                            dtype):
+    """Factor-form Student step core: the recursion of
+    :func:`ssmtoybox_tpu.ssinf.studentian_filter` (itself the reference's
+    ``ssinf.py:634-736``) on Cholesky factors of the SCALE matrices.
+
+    The Student recursion differs from the Gaussian one by exactly two
+    scalars, and both enter a factor form as column multipliers:
+
+    * the predictive scale ``(nu_pr - 2)/nu_pr`` multiplies the transform's
+      output covariance before the scale-form noise term is added
+      (``x_smat_pr = scale * x_cov_pr + G S_q G^T``) — passed to the
+      transform factorizations as ``out_sqrt_scale = sqrt(scale)``, which
+      scales the transform columns but not the noise columns;
+    * the posterior rescale ``(nu + delta^T delta)/(nu + dim_y)`` multiplies
+      the downdated factor, with ``delta = S_yy^{-1} (y - y_pred)`` — one
+      triangular substitution against the innovation factor the measurement
+      update already built.
+
+    Everything else (QR factorization of weighted deviations, triangular
+    gain solves, rank-1 gain downdates, non-additive state augmentation in
+    factor form) is shared verbatim with the Gaussian machinery.  Works with
+    classical sigma-point rules (FS for Student inputs) AND single-output BQ
+    transforms (GPQ on Student points, TPQ with its data-dependent EMV) —
+    i.e. the factor-form twins of ``FullySymmetricStudent``, ``GPQStudent``
+    and ``StudentProcessStudent``.
+    """
+    def cast(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    if dof <= 2.0:               # same guard as the full path (ssinf.py:612)
+        dof = 4.0
+    dof_f = float(dof)
+
+    x0_mean, x0_smat, x0_dof = (np.asarray(a) for a in mod_dyn.init_rv.get_stats())
+    q_mean, q_cov, q_dof = (np.asarray(a) for a in mod_dyn.noise_rv.get_stats())
+    r_mean, r_cov, r_dof = (np.asarray(a) for a in mod_obs.noise_rv.get_stats())
+    G = np.asarray(mod_dyn.noise_gain)
+    dim_x = x0_mean.shape[0]
+    dim_y = int(mod_obs.dim_out)
+    q_dof_f, r_dof_f = float(q_dof), float(r_dof)
+
+    init_scale = (dof_f - 2.0) / dof_f
+    S0_np = _psd_chol(init_scale * x0_smat)
+    sqrt_iscale = float(np.sqrt(init_scale))
+
+    pts_d, wm_d_, factor_d, _, _ = _transform_core(
+        tf_dyn, "dynamics", cast, state_dim=dim_x)
+    pts_o, wm_o_, factor_o, cross_o, _ = _transform_core(
+        tf_obs, "measurement", cast, state_dim=dim_x)
+
+    # noise factors in SCALE form: q_smat = (dof-2)/dof * q_cov (and r
+    # alike) are loop invariants, like the full path's hoisted GSGt.
+    # Non-additive noise augments the state in factor form exactly as in
+    # _sqrt_machinery, with the jitter floor for the same singularity reason.
+    if mod_dyn.noise_additive:
+        Sq_ = cast(sqrt_iscale * (G @ _psd_chol(q_cov)))
+        q_mean_ = None
+        dX_bot_d = None
+    else:
+        Sq_ = cast(_jit_cols(dim_x))
+        q_mean_ = cast(q_mean)
+        dX_bot_d = cast(sqrt_iscale * _psd_chol(q_cov) @ np.asarray(pts_d)[dim_x:])
+    if mod_obs.noise_additive:
+        Sr_ = cast(sqrt_iscale * _psd_chol(r_cov))
+        r_mean_ = None
+        dX_bot_o = None
+    else:
+        Sr_ = cast(_jit_cols(dim_y))
+        r_mean_ = cast(r_mean)
+        dX_bot_o = cast(sqrt_iscale * _psd_chol(r_cov) @ np.asarray(pts_o)[dim_x:])
+
+    def step_core(m, S, dof_fi, y, k):
+        """One factor-form Student predict+update.  Returns ``(m_pr, S_pr,
+        y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next)`` — ``S_cov_fi`` is
+        the pre-rescale (quirky "covariance") factor, ``S_smat_fi`` the
+        filtered scale factor."""
+        if fixed_dof:            # ssinf.py:648-653: heavy tails preserved
+            dof_pr = jnp.minimum(jnp.minimum(dof_fi, q_dof_f), r_dof_f)
+            scale = ((dof_pr - 2.0) / dof_pr).astype(S.dtype)
+        else:
+            scale = jnp.asarray(init_scale, S.dtype)
+        ssc = jnp.sqrt(scale)
+
+        # ---- time update on scale factors (ssinf.py:662-698)
+        dX_in = small_matmul(S, pts_d[:dim_x])
+        if mod_dyn.noise_additive:
+            X = m[:, None] + dX_in
+        else:
+            m_aug = jnp.concatenate([m, q_mean_.astype(S.dtype)])
+            dX_aug = jnp.concatenate(
+                [dX_in, jnp.broadcast_to(dX_bot_d.astype(S.dtype),
+                                         dX_in.shape[:-2] + dX_bot_d.shape)],
+                axis=-2)
+            X = m_aug[:, None] + dX_aug
+        fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
+        m_pr = small_matmul(fX, wm_d_)
+        dfx = fX - m_pr[:, None]
+        S_pr = factor_d(fX, dfx, Sq_, out_sqrt_scale=ssc)
+
+        # ---- predicted measurement moments
+        dX = small_matmul(S_pr, pts_o[:dim_x])
+        if mod_obs.noise_additive:
+            Xp = m_pr[:, None] + dX
+        else:
+            m_aug = jnp.concatenate([m_pr, r_mean_.astype(S_pr.dtype)])
+            dX_aug = jnp.concatenate(
+                [dX, jnp.broadcast_to(dX_bot_o.astype(S_pr.dtype),
+                                      dX.shape[:-2] + dX_bot_o.shape)],
+                axis=-2)
+            Xp = m_aug[:, None] + dX_aug
+        hX = apply_f_columns(mod_obs.meas_eval, Xp, k - 1).astype(S_pr.dtype)
+        y_pr = small_matmul(hX, wm_o_)
+        dhx = hX - y_pr[:, None]
+        S_yy = factor_o(hX, dhx, Sr_, out_sqrt_scale=ssc)
+        P_xy = scale * cross_o(S_pr, dX, hX, dhx)
+
+        # ---- measurement update (ssinf.py:700-736)
+        B = tri_solve_small(S_yy, jnp.swapaxes(P_xy, -1, -2), lower=True)
+        C = tri_solve_small(jnp.swapaxes(S_yy, -1, -2), B, lower=False)
+        K = jnp.swapaxes(C, -1, -2)
+        m_fi = m_pr + small_matmul(K, y - y_pr)
+        U = small_matmul(K, S_yy)
+        S_cov_fi = S_pr
+        for j in range(dim_y):
+            S_cov_fi = cholupdate_small(S_cov_fi, U[..., :, j], -1.0)
+        # delta^T delta = r^T (S_yy S_yy^T)^-1 r — invariant to the factor's
+        # column signs, so QR-derived factors are as good as a Cholesky here
+        delta = tri_solve_small(S_yy, y - y_pr, lower=True)
+        scale_fi = ((dof_f + jnp.sum(delta * delta, axis=-1))
+                    / (dof_f + dim_y)).astype(S.dtype)
+        S_smat_fi = jnp.sqrt(scale_fi) * S_cov_fi
+        dof_next = dof_fi + dim_y
+        return m_pr, S_pr, y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next
+
+    return step_core, cast, x0_mean, S0_np, float(x0_dof), dim_y
+
+
+def make_sqrt_studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs,
+                                dof: float = 4.0, fixed_dof: bool = True,
+                                dtype=None, unroll: int | None = None):
+    """Build a jitted square-root STUDENT-t filter — outlier-robust serving
+    on the TPU f32 fast path.
+
+    The factor-form twin of :func:`ssmtoybox_tpu.ssinf.studentian_filter`
+    (same signature conventions): returns ``filter_fn(data, init_mean=None,
+    init_sqrt=None) -> SqrtStudentFilterResult`` over a (dim_y, N) record;
+    vmap it for MC batches.  ``init_sqrt`` is a factor of the INITIAL SCALE
+    matrix ``(dof-2)/dof * init_rv scale`` (defaults to the model prior).
+    With ``dtype=jnp.float32`` the recursion stays positive-definite by
+    construction where the full-covariance Student recursion — which both
+    rescales and downdates every step — loses definiteness first.  ``unroll``
+    amortizes scan dispatch (env ``SSMTPU_SCAN_UNROLL``).
+    """
+    from .ssinf import _scan_unroll
+    unroll = _scan_unroll(unroll)
+    step_core, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof, dtype)
+
+    @jax.jit
+    def filter_fn(data, init_mean=None, init_sqrt=None):
+        m0 = cast(m0_np) if init_mean is None else cast(init_mean)
+        S0 = cast(S0_np) if init_sqrt is None else cast(init_sqrt)
+        data_ = cast(data)
+        n_steps = data_.shape[-1]
+
+        def step(carry, inp):
+            m, S, dof_fi = carry
+            y, k = inp
+            m_pr, S_pr, _, _, m_fi, S_cov, S_fi, dof_next = step_core(
+                m, S, dof_fi, y, k)
+            return (m_fi, S_fi, dof_next), (m_fi, S_cov, S_fi, dof_next,
+                                            m_pr, S_pr)
+
+        ks = jnp.arange(1, n_steps + 1)
+        init = (m0, S0, cast(dof0))
+        _, (fi_m, fi_C, fi_S, dofs, pr_m, pr_S) = jax.lax.scan(
+            step, init, (data_.T, ks), unroll=unroll)
+        return SqrtStudentFilterResult(
+            fi_mean=jnp.moveaxis(fi_m, 0, -1),
+            fi_cov_sqrt=jnp.moveaxis(fi_C, 0, -1),
+            fi_smat_sqrt=jnp.moveaxis(fi_S, 0, -1),
+            dof_fi=dofs,
+            pr_mean=jnp.moveaxis(pr_m, 0, -1),
+            pr_smat_sqrt=jnp.moveaxis(pr_S, 0, -1),
+        )
+
+    return filter_fn
+
+
+class SqrtStudentOnlineState(struct.PyTreeNode):
+    """Streaming square-root Student carry: mean, SCALE factor, accumulated
+    dof, 1-based step index."""
+
+    mean: jax.Array          # (D,) or (B, D)
+    sqrt: jax.Array          # (D, D) or (B, D, D) — scale-matrix factor
+    dof: jax.Array           # scalar or (B,)
+    step: jax.Array          # scalar or (B,) int
+
+
+def make_online_sqrt_student_filter(mod_dyn, mod_obs, tf_dyn, tf_obs,
+                                    dof: float = 4.0, fixed_dof: bool = True,
+                                    batch: bool = False, donate: bool = True,
+                                    dtype=None):
+    """Streaming square-root STUDENT filtering — outlier-robust f32 serving.
+
+    Same ``init(batch_size=None)`` / ``step(state, y, observed=True) ->
+    (SqrtStudentOnlineState, SqrtStepInfo)`` surface as
+    :func:`make_online_sqrt_filter`, with the Student scale/dof bookkeeping
+    in the carry.  A dropped measurement (``observed=False``) keeps the
+    predicted mean/scale and leaves the dof untouched (no information
+    arrived).  NIS-style innovation gating works unchanged off
+    ``info.innov_sqrt`` — two triangular substitutions — which is how a
+    serving stack rejects glint outliers *before* they enter the state.
+    """
+    step_core, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof, dtype)
+
+    def _leaves():
+        return dict(mean=cast(m0_np), sqrt=cast(S0_np), dof=cast(dof0),
+                    step=jnp.asarray(1, jnp.int32))
+
+    def _one(state: SqrtStudentOnlineState, y, observed):
+        m_pr, S_pr, y_pr, S_yy, m_fi, _, S_fi, dof_next = step_core(
+            state.mean, state.sqrt, state.dof, y, state.step)
+        m_new = jnp.where(observed, m_fi, m_pr)
+        S_new = jnp.where(observed, S_fi, S_pr)
+        dof_new = jnp.where(observed, dof_next, state.dof)
+        info = SqrtStepInfo(y_pred=y_pr, innov=y - y_pr, innov_sqrt=S_yy)
+        return SqrtStudentOnlineState(mean=m_new, sqrt=S_new, dof=dof_new,
+                                      step=state.step + 1), info
+
+    return streaming_api(SqrtStudentOnlineState, _leaves, _one, batch, donate,
+                         cast=cast)
+
+
+class SquareRootStudent:
+    """Class-API square-root Student filter.
+
+    ``SquareRootStudent(dyn, obs)`` mirrors the constructor conventions of
+    :class:`ssmtoybox_tpu.ssinf.FullySymmetricStudent` (degree/kappa pick the
+    fully-symmetric rule, with the noise dofs shaping the points exactly as
+    there); pass prebuilt transforms instead for the factor-form twins of
+    ``GPQStudent``/``StudentProcessStudent``, e.g. ``SquareRootStudent(dyn,
+    obs, tf_dyn=StudentTProcessTransform.create(...), tf_obs=...)``.
+
+    ``forward_pass`` returns ``(fi_mean, fi_cov)`` with ``fi_cov``
+    reconstituted as ``S S^T`` from the pre-rescale factor — the same quirky
+    scale-derived matrix ``StudentianInference.forward_pass`` reports
+    (reference FIXME at ``ssinf.py:726-727``) — for drop-in comparison.
+    Pass ``dtype=jnp.float32`` for the TPU fast path.
+    """
+
+    def __init__(self, dyn, obs, degree: int = 3, kappa=None, dof: float = 4.0,
+                 fixed_dof: bool = True, dtype=None, tf_dyn=None, tf_obs=None):
+        if (tf_dyn is None) != (tf_obs is None):
+            raise ValueError("pass both tf_dyn and tf_obs, or neither")
+        self.mod_dyn, self.mod_obs = dyn, obs
+        if tf_dyn is None:
+            dyn_dof = min(dyn.init_rv.dof, dyn.noise_rv.dof)
+            obs_dof = min(dyn_dof, obs.noise_rv.dof)
+            tf_dyn = FullySymmetricStudentTransform(dyn.dim_in, degree, kappa,
+                                                    dyn_dof)
+            tf_obs = FullySymmetricStudentTransform(obs.dim_in, degree, kappa,
+                                                    obs_dof)
+        self.tf_dyn, self.tf_obs = tf_dyn, tf_obs
+        self._filter = make_sqrt_studentian_filter(
+            dyn, obs, tf_dyn, tf_obs, dof=dof, fixed_dof=fixed_dof, dtype=dtype)
+        self._result = None
+
+    def forward_pass(self, data):
+        res = self._filter(jnp.asarray(data))
+        self._result = res
+        cov = jnp.einsum("ijn,kjn->ikn", res.fi_cov_sqrt, res.fi_cov_sqrt)
+        return res.fi_mean, cov
+
+    def forward_pass_batch(self, data_batch):
+        res = jax.vmap(self._filter)(jnp.asarray(data_batch))
+        self._result = res
+        cov = jnp.einsum("mijn,mkjn->mikn", res.fi_cov_sqrt, res.fi_cov_sqrt)
+        return res.fi_mean, cov
+
+    def reset(self):
+        self._result = None

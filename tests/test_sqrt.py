@@ -619,3 +619,170 @@ class TestFixedLagSqrt:
         init, _ = make_fixed_lag_sqrt_smoother(dyn, obs, tf, tf, lag=3, batch=True)
         with pytest.raises(ValueError, match="batch_size"):
             init()
+
+
+# ---------------------------------------------------------------------------
+# Square-root STUDENTIAN filtering
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ungm_student():
+    from ssmtoybox_tpu.utils import StudentRV
+    dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                StudentRV.create(1, scale=10.0, dof=4.0))
+    obs = UNGMMeasurement.create(StudentRV.create(1, scale=0.01, dof=4.0),
+                                 dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=80, mc_sims=1)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)[..., 0]
+    return dyn, obs, x, y
+
+
+class TestSqrtStudent:
+    """Factor-form Student filter vs ssinf.studentian_filter (the reference
+    recursion at ``ssinf.py:634-736``): identical math, Cholesky factors of
+    the scale matrices instead of the matrices."""
+
+    @staticmethod
+    def _fs(dim, degree=3):
+        from ssmtoybox_tpu.mtran import FullySymmetricStudentTransform
+        return FullySymmetricStudentTransform(dim, degree, None, 4.0)
+
+    @pytest.mark.parametrize("fixed_dof", [True, False])
+    def test_matches_full_fs(self, ungm_student, fixed_dof):
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_filter
+        from ssmtoybox_tpu.ssinf import studentian_filter
+        dyn, obs, _, y = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        full = studentian_filter(dyn, obs, td, to, y, dof=4.0, fixed_dof=fixed_dof)
+        res = make_sqrt_studentian_filter(dyn, obs, td, to, dof=4.0,
+                                          fixed_dof=fixed_dof)(y)
+        np.testing.assert_allclose(np.asarray(res.fi_mean),
+                                   np.asarray(full.fi_mean), atol=1e-9)
+        smat = jnp.einsum("ijn,kjn->ikn", res.fi_smat_sqrt, res.fi_smat_sqrt)
+        np.testing.assert_allclose(np.asarray(smat), np.asarray(full.fi_smat),
+                                   rtol=1e-8, atol=1e-10)
+        cov = jnp.einsum("ijn,kjn->ikn", res.fi_cov_sqrt, res.fi_cov_sqrt)
+        np.testing.assert_allclose(np.asarray(cov), np.asarray(full.fi_cov),
+                                   rtol=1e-8, atol=1e-10)
+        prs = jnp.einsum("ijn,kjn->ikn", res.pr_smat_sqrt, res.pr_smat_sqrt)
+        np.testing.assert_allclose(np.asarray(prs), np.asarray(full.pr_smat),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(res.dof_fi),
+                                      np.asarray(full.dof_fi))
+
+    @pytest.mark.slow
+    def test_matches_full_tpq(self, ungm_student):
+        """TPQ transforms: the data-dependent EMV scale reads the raw
+        function values inside the factorization (out_sqrt_scale applies
+        AFTER emv_cols), matching StudentProcessStudent's full path."""
+        from ssmtoybox_tpu.bq.transforms import StudentTProcessTransform
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_filter
+        from ssmtoybox_tpu.ssinf import studentian_filter
+        dyn, obs, _, y = ungm_student
+        y = y[:, :50]
+        kp = np.array([[1.0, 1.0]])
+        mc = dict(num_samples=20_000, num_batches=10)
+        td = StudentTProcessTransform.create(dyn.dim_in, 1, kp, "rbf-student",
+                                             "fs", dict(dof=4.0), nu=4.0, mc_opts=mc)
+        to = StudentTProcessTransform.create(obs.dim_in, 1, kp, "rbf-student",
+                                             "fs", dict(dof=4.0), nu=4.0, mc_opts=mc)
+        full = studentian_filter(dyn, obs, td, to, y, dof=4.0, fixed_dof=True)
+        res = make_sqrt_studentian_filter(dyn, obs, td, to)(y)
+        np.testing.assert_allclose(np.asarray(res.fi_mean),
+                                   np.asarray(full.fi_mean), atol=1e-9)
+        smat = jnp.einsum("ijn,kjn->ikn", res.fi_smat_sqrt, res.fi_smat_sqrt)
+        np.testing.assert_allclose(np.asarray(smat), np.asarray(full.fi_smat),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_nonadditive_measurement(self):
+        """Non-additive measurement noise in factor form.  Degree-5 points:
+        the deg-3 rule varies one coordinate at a time, which gives the
+        bilinear ``z = 0.05 r x^2`` an exactly ZERO gain — the filter then
+        free-runs and the per-step ``(nu + d^T d)/(nu + dim_y)`` rescale
+        compounds chaotically in both paths (no information ever enters), so
+        only deg-5 is a meaningful parity scenario."""
+        from ssmtoybox_tpu.utils import StudentRV
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_filter
+        from ssmtoybox_tpu.ssinf import studentian_filter
+        dyn = UNGMTransition.create(
+            StudentRV.create(1, mean=jnp.array([2.0]), scale=1.0, dof=4.0),
+            StudentRV.create(1, scale=1.0, dof=4.0))
+        obs = UNGMNAMeasurement.create(StudentRV.create(1, scale=1.0, dof=4.0),
+                                       dim_state=1)
+        td, to = self._fs(dyn.dim_in, 5), self._fs(obs.dim_in, 5)
+        x = dyn.simulate_discrete(jax.random.PRNGKey(2), steps=60, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(3), x)[..., 0]
+        full = studentian_filter(dyn, obs, td, to, y, dof=4.0, fixed_dof=True)
+        res = make_sqrt_studentian_filter(dyn, obs, td, to)(y)
+        np.testing.assert_allclose(np.asarray(res.fi_mean),
+                                   np.asarray(full.fi_mean), rtol=1e-3, atol=1e-3)
+        smat = jnp.einsum("ijn,kjn->ikn", res.fi_smat_sqrt, res.fi_smat_sqrt)
+        np.testing.assert_allclose(np.asarray(smat), np.asarray(full.fi_smat),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_f32_stays_finite_pd(self, ungm_student):
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_filter
+        dyn, obs, _, y = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        res = make_sqrt_studentian_filter(dyn, obs, td, to,
+                                          dtype=jnp.float32)(y)
+        assert res.fi_mean.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(res.fi_mean)))
+        assert bool(jnp.all(jnp.isfinite(res.fi_smat_sqrt)))
+        # factors reconstruct PD scale matrices (diagonal bounded away from 0)
+        smat = jnp.einsum("ijn,kjn->ikn", res.fi_smat_sqrt, res.fi_smat_sqrt)
+        assert float(jnp.min(smat[0, 0])) > 0.0
+
+    def test_streaming_matches_offline(self, ungm_student):
+        from ssmtoybox_tpu.sqrt import (make_sqrt_studentian_filter,
+                                        make_online_sqrt_student_filter)
+        dyn, obs, _, y = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        off = make_sqrt_studentian_filter(dyn, obs, td, to)(y)
+        init, step = make_online_sqrt_student_filter(dyn, obs, td, to)
+        s = init()
+        means, smats = [], []
+        for k in range(y.shape[-1]):
+            s, info = step(s, y[:, k])
+            means.append(np.asarray(s.mean))
+            smats.append(np.asarray(s.sqrt))
+        np.testing.assert_allclose(np.stack(means, -1), np.asarray(off.fi_mean),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.stack(smats, -1),
+                                   np.asarray(off.fi_smat_sqrt),
+                                   rtol=1e-12, atol=1e-12)
+        assert float(s.dof) == float(off.dof_fi[-1])
+
+    def test_streaming_dropout_keeps_prediction(self, ungm_student):
+        """A dropped measurement keeps the predicted mean/scale and does NOT
+        advance the dof (no information arrived)."""
+        from ssmtoybox_tpu.sqrt import make_online_sqrt_student_filter
+        dyn, obs, _, y = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        init, step = make_online_sqrt_student_filter(dyn, obs, td, to)
+        s = init()
+        s, _ = step(s, y[:, 0])
+        dof_before = float(s.dof)
+        s2, info = step(s, y[:, 1], observed=False)
+        assert float(s2.dof) == dof_before
+        assert bool(jnp.all(jnp.isfinite(s2.mean)))
+
+    def test_class_api_matches_full_filter(self, ungm_student):
+        """SquareRootStudent mirrors FullySymmetricStudent's constructor and
+        reports the same quirky scale-derived 'covariance' (reference FIXME
+        ssinf.py:726-727)."""
+        dyn, obs, _, y = ungm_student
+        alg_full = st.FullySymmetricStudent(dyn, obs, degree=3, dof=4.0)
+        fm, fc = alg_full.forward_pass(y)
+        alg = st.SquareRootStudent(dyn, obs, degree=3, dof=4.0)
+        sm, sc = alg.forward_pass(y)
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(fm), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(fc),
+                                   rtol=1e-8, atol=1e-10)
+        alg.reset()
+        assert alg._result is None
+
+    def test_rejects_mismatched_transform_args(self, ungm_student):
+        dyn, obs, _, _ = ungm_student
+        with pytest.raises(ValueError, match="both tf_dyn and tf_obs"):
+            st.SquareRootStudent(dyn, obs, tf_dyn=self._fs(dyn.dim_in))
