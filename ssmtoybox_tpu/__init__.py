@@ -29,7 +29,8 @@ from .mtran import (
 )
 from .sqrt import (SquareRootKalman, make_sqrt_filter, make_sqrt_smoother,
                    SqrtFilterResult, SquareRootStudent,
-                   make_sqrt_studentian_filter, SqrtStudentFilterResult)
+                   make_sqrt_studentian_filter, make_sqrt_studentian_smoother,
+                   SqrtStudentFilterResult)
 from .ssinf import (
     ExtendedKalman, CubatureKalman, UnscentedKalman, GaussHermiteKalman,
     GaussianProcessKalman, BayesSardKalman, StudentProcessKalman,
@@ -61,5 +62,6 @@ __all__ = [
     "studentian_smoother",
     "IteratedPosteriorLinearizationKalman", "iterated_gaussian_filter", "slr_affine",
     "SquareRootKalman", "make_sqrt_filter", "make_sqrt_smoother", "SqrtFilterResult",
-    "SquareRootStudent", "make_sqrt_studentian_filter", "SqrtStudentFilterResult",
+    "SquareRootStudent", "make_sqrt_studentian_filter",
+    "make_sqrt_studentian_smoother", "SqrtStudentFilterResult",
 ]

@@ -29,7 +29,12 @@ plus two scalars — the predictive scale ``(nu-2)/nu`` (a column multiplier
 on the transform output) and the posterior rescale ``(nu + d^T d)/(nu +
 dim_y)`` (a scalar on the downdated factor, with ``d`` one triangular solve
 against the innovation factor) — so outlier-robust FSQ/GPQ-Student/TPQ
-serving gets the same PD-by-construction f32 path.
+serving gets the same PD-by-construction f32 path.  Student RTS smoothing
+(:func:`make_sqrt_studentian_smoother`) adds an exact rank-D conditional
+correction ``(1 - scale*c) P_fi`` to the joint factorization (``c`` the
+rule's — or, for BQ dynamics, the Student kernel's — reconstruction
+scalar); ``scale*c > 1`` configurations are refused because the conditional
+covariance is provably indefinite there.
 
 BQ transforms carry a dense covariance-weight matrix ``Wc`` plus an
 expected-model-variance (EMV) term (``bqmtran.py:178-201``), which looks
@@ -82,8 +87,9 @@ __all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
            "SquareRootKalman", "SqrtOnlineState", "SqrtStepInfo",
            "make_online_sqrt_filter", "FixedLagSqrtState",
            "make_fixed_lag_sqrt_smoother", "SqrtStudentFilterResult",
-           "make_sqrt_studentian_filter", "SqrtStudentOnlineState",
-           "make_online_sqrt_student_filter", "SquareRootStudent"]
+           "make_sqrt_studentian_filter", "make_sqrt_studentian_smoother",
+           "SqrtStudentOnlineState", "make_online_sqrt_student_filter",
+           "SquareRootStudent"]
 
 
 class SqrtFilterResult(struct.PyTreeNode):
@@ -256,9 +262,10 @@ def _transform_core(tf, what: str, cast, state_dim: int | None = None):
 
         # raw np pieces only — the smoothers' joint factorization derives its
         # residual factor W_hat from them lazily (_make_joint_factor_bq), so
-        # filter-only builds pay nothing for the smoothing machinery
+        # filter-only builds pay nothing for the smoothing machinery (and an
+        # RQ kernel, whose weighting scalar is unknown, still filters fine)
         statics = dict(bq=True, C_np=C, Wcc_np=Wcc, emv_cols_b=emv_cols,
-                       cast_b=cast)
+                       cast_b=cast, kernel_b=tf.model.kernel)
         return pts_, wm_, factor, cross, statics
 
     raise TypeError(
@@ -493,6 +500,50 @@ def _make_joint_factor(st_, dim):
     return joint_factor
 
 
+def _kernel_weighting_scalar(kern) -> float:
+    """Covariance scalar ``kappa`` of a BQ kernel's weighting density.
+
+    The Schur-complement identities behind the BQ joint factorizations hold
+    under the measure the kernel EXPECTATIONS integrate against:
+    ``N(0, I)`` (kappa = 1) for the Gaussian RBF, ``St(0, I, dof)``
+    (kappa = dof/(dof - 2)) for the Student-weighted RBF.  Kernels whose
+    weighting covariance is not a known scalar multiple of identity (RQ)
+    cannot drive the square-root smoothers."""
+    from .bq.kernels import RBFGauss, RBFStudent
+    if isinstance(kern, RBFStudent):          # subclass of RBFGauss: test first
+        return float(kern.dof) / (float(kern.dof) - 2.0)
+    if isinstance(kern, RBFGauss):
+        return 1.0
+    raise TypeError(
+        f"square-root BQ smoothing needs a kernel whose weighting-density "
+        f"covariance is a known scalar multiple of identity (RBF-Gauss or "
+        f"RBF-Student); got {type(kern).__name__}")
+
+
+def _bq_joint_pieces(st_):
+    """Shared build of the BQ joint-factorization constants: pre-scaled
+    ``Wcc^T`` columns, residual factor ``W_hat`` and the weighting scalar
+    ``kappa``.  The residual identity generalizes to non-Gaussian weighting
+    measures: the joint covariance of ``(x, w(x))`` under the KERNEL's
+    weighting density has ``Cov[x] = kappa I``, so the PSD Schur residual is
+
+        W_hat W_hat^T = (Wc - wm wm^T) - (1/kappa) Wcc^T Wcc
+
+    and the joint columns carry ``fx Wcc^T / sqrt(kappa)`` on top against
+    ``sqrt(kappa) S`` on the bottom (cross block exact; the bottom block's
+    ``kappa P_fi`` excess is repaired by the callers' rank-``dim``
+    correction).  For Gaussian-weighted kernels kappa = 1 and everything
+    reduces to the plain Schur complement."""
+    kap = _kernel_weighting_scalar(st_["kernel_b"])
+    C2 = st_["C_np"] - (1.0 / kap) * (st_["Wcc_np"].T @ st_["Wcc_np"])
+    C2 = (C2 + C2.T) / 2.0
+    s2, v2 = np.linalg.eigh(C2)
+    cast_b = st_["cast_b"]
+    WccT_ = cast_b(st_["Wcc_np"].T / np.sqrt(kap))
+    W_hat_ = cast_b(v2 * np.sqrt(np.clip(s2, 0.0, None))[None, :])
+    return kap, WccT_, W_hat_
+
+
 def _make_joint_factor_bq(st_, dim):
     """Joint-deviation triangularization for BQ DYNAMICS transforms.
 
@@ -501,26 +552,37 @@ def _make_joint_factor_bq(st_, dim):
     (x_pred, x_prev) covariance is factored from closed-form columns
     instead::
 
-        top = [fx Wcc^T, fx W_hat, emv_cols, noise]     (predicted rows)
-        bot = [S,        0,        0,        0   ]      (previous rows)
+        top = [fx Wcc^T/sqrt(k), fx W_hat, emv_cols, noise]  (predicted rows)
+        bot = [sqrt(k) S,        0,        0,        0   ]   (previous rows)
 
-    where ``W_hat W_hat^T = (Wc - wm wm^T) - Wcc^T Wcc`` is PSD by
-    construction (Schur complement of the joint covariance of ``(x, k(x))``
-    under ``x ~ N(0, I)``; row-trimmed ``Wcc`` only shrinks the
-    subtrahend), so top·top^T = P_pr, top·bot^T = cov(x_pred, x_prev) and
-    bot·bot^T = P_fi — one QR, no downdates, PD by construction like the
-    classical path.
+    with ``k`` the kernel's weighting scalar and ``W_hat`` the PSD Schur
+    residual (:func:`_bq_joint_pieces`): top·top^T = P_pr, top·bot^T =
+    cov(x_pred, x_prev) exactly, and the bottom block's ``k P_fi`` is
+    corrected to ``P_fi`` by ``dim`` rank-1 updates of weight ``1 - k`` on
+    the conditional factor.  For Gaussian-weighted kernels (k = 1, the
+    common case) the correction vanishes and the result is one QR, no
+    downdates, PD by construction like the classical path; Student-weighted
+    kernels (k > 1) take guarded downdates.
     """
     # Derive the residual factor here (not at _transform_core build time) so
     # filter-only paths never pay for the smoothing machinery; eigh-clip
     # absorbs the round-off negatives PSD-by-construction leaves in f64,
     # like the L_w build.
-    C2 = st_["C_np"] - st_["Wcc_np"].T @ st_["Wcc_np"]
-    C2 = (C2 + C2.T) / 2.0
-    s2, v2 = np.linalg.eigh(C2)
-    cast_b = st_["cast_b"]
-    WccT_ = cast_b(st_["Wcc_np"].T)
-    W_hat_ = cast_b(v2 * np.sqrt(np.clip(s2, 0.0, None))[None, :])
+    kap, WccT_, W_hat_ = _bq_joint_pieces(st_)
+    if kap > 1.0 + 1e-9:
+        # existence, not engineering: with kappa > 1 the GAUSSIAN recursion's
+        # conditional P_fi - G P_pr G^T can be indefinite (the Schur bound
+        # only gives G P_pr G^T <= kappa P_fi), so no Cholesky-factor form
+        # exists.  The STUDENT square-root smoother supports these kernels —
+        # its predictive scale (nu-2)/nu <= 1/kappa compensates exactly
+        # (see _make_student_predict_joint).
+        raise TypeError(
+            f"square-root GAUSSIAN smoothing cannot drive a Student-weighted "
+            f"kernel (weighting covariance {kap:.4f} x identity > identity): "
+            f"the conditional covariance P_fi - G P_pr G^T is indefinite — "
+            f"use the Student square-root smoother "
+            f"(make_sqrt_studentian_smoother) or the full-covariance "
+            f"gaussian_smoother")
     emv_cols, Sq_ = st_["emv_cols_b"], st_["Sq"]
 
     def joint_factor(fX, S):
@@ -533,11 +595,14 @@ def _make_joint_factor_bq(st_, dim):
              jnp.zeros(fX.shape[:-2] + (1, 1), fX.dtype)], axis=-1)
         pad = jnp.zeros(S.shape[:-1] + (A2.shape[-1] + E.shape[-1] + nq,),
                         S.dtype)
-        bot = jnp.concatenate([S, pad], axis=-1)
+        bot = jnp.concatenate([float(np.sqrt(kap)) * S, pad], axis=-1)
         L = _qr_factor(jnp.concatenate([top, bot], axis=-2))
         L11 = L[..., :dim, :dim]
         L21 = L[..., dim:, :dim]
         R22 = L[..., dim:, dim:]
+        if kap != 1.0:              # static: no-op for Gaussian weighting
+            for j in range(dim):
+                R22 = cholupdate_small(R22, S[..., :, j], 1.0 - kap)
         Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
                              jnp.swapaxes(L21, -1, -2), lower=False)
         return L11, jnp.swapaxes(Gt, -1, -2), R22
@@ -928,7 +993,7 @@ def _sqrt_student_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof,
     S0_np = _psd_chol(init_scale * x0_smat)
     sqrt_iscale = float(np.sqrt(init_scale))
 
-    pts_d, wm_d_, factor_d, _, _ = _transform_core(
+    pts_d, wm_d_, factor_d, _, statics_d = _transform_core(
         tf_dyn, "dynamics", cast, state_dim=dim_x)
     pts_o, wm_o_, factor_o, cross_o, _ = _transform_core(
         tf_obs, "measurement", cast, state_dim=dim_x)
@@ -954,19 +1019,18 @@ def _sqrt_student_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof,
         r_mean_ = cast(r_mean)
         dX_bot_o = cast(sqrt_iscale * _psd_chol(r_cov) @ np.asarray(pts_o)[dim_x:])
 
-    def step_core(m, S, dof_fi, y, k):
-        """One factor-form Student predict+update.  Returns ``(m_pr, S_pr,
-        y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next)`` — ``S_cov_fi`` is
-        the pre-rescale (quirky "covariance") factor, ``S_smat_fi`` the
-        filtered scale factor."""
+    def pred_scale(S, dof_fi):
+        """Per-step predictive scale ``(nu_pr - 2)/nu_pr`` and its sqrt."""
         if fixed_dof:            # ssinf.py:648-653: heavy tails preserved
             dof_pr = jnp.minimum(jnp.minimum(dof_fi, q_dof_f), r_dof_f)
             scale = ((dof_pr - 2.0) / dof_pr).astype(S.dtype)
         else:
             scale = jnp.asarray(init_scale, S.dtype)
-        ssc = jnp.sqrt(scale)
+        return scale, jnp.sqrt(scale)
 
-        # ---- time update on scale factors (ssinf.py:662-698)
+    def time_dev(m, S, k):
+        """Propagate sigma points of the scale factor; no factorization —
+        the smoother consumes the raw deviations through its joint QR."""
         dX_in = small_matmul(S, pts_d[:dim_x])
         if mod_dyn.noise_additive:
             X = m[:, None] + dX_in
@@ -980,9 +1044,10 @@ def _sqrt_student_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof,
         fX = apply_f_columns(mod_dyn.dyn_eval, X, k - 1).astype(S.dtype)
         m_pr = small_matmul(fX, wm_d_)
         dfx = fX - m_pr[:, None]
-        S_pr = factor_d(fX, dfx, Sq_, out_sqrt_scale=ssc)
+        return m_pr, fX, dfx, dX_in
 
-        # ---- predicted measurement moments
+    def meas_core(m_pr, S_pr, scale, ssc, dof_fi, y, k):
+        """Factor-form Student measurement update (ssinf.py:700-736)."""
         dX = small_matmul(S_pr, pts_o[:dim_x])
         if mod_obs.noise_additive:
             Xp = m_pr[:, None] + dX
@@ -999,7 +1064,6 @@ def _sqrt_student_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof,
         S_yy = factor_o(hX, dhx, Sr_, out_sqrt_scale=ssc)
         P_xy = scale * cross_o(S_pr, dX, hX, dhx)
 
-        # ---- measurement update (ssinf.py:700-736)
         B = tri_solve_small(S_yy, jnp.swapaxes(P_xy, -1, -2), lower=True)
         C = tri_solve_small(jnp.swapaxes(S_yy, -1, -2), B, lower=False)
         K = jnp.swapaxes(C, -1, -2)
@@ -1012,12 +1076,35 @@ def _sqrt_student_machinery(mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof,
         # column signs, so QR-derived factors are as good as a Cholesky here
         delta = tri_solve_small(S_yy, y - y_pr, lower=True)
         scale_fi = ((dof_f + jnp.sum(delta * delta, axis=-1))
-                    / (dof_f + dim_y)).astype(S.dtype)
+                    / (dof_f + dim_y)).astype(S_pr.dtype)
         S_smat_fi = jnp.sqrt(scale_fi) * S_cov_fi
         dof_next = dof_fi + dim_y
+        return y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next
+
+    def step_core(m, S, dof_fi, y, k):
+        """One factor-form Student predict+update.  Returns ``(m_pr, S_pr,
+        y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next)`` — ``S_cov_fi`` is
+        the pre-rescale (quirky "covariance") factor, ``S_smat_fi`` the
+        filtered scale factor."""
+        scale, ssc = pred_scale(S, dof_fi)
+        m_pr, fX, dfx, _ = time_dev(m, S, k)
+        S_pr = factor_d(fX, dfx, Sq_, out_sqrt_scale=ssc)
+        y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next = meas_core(
+            m_pr, S_pr, scale, ssc, dof_fi, y, k)
         return m_pr, S_pr, y_pr, S_yy, m_fi, S_cov_fi, S_smat_fi, dof_next
 
-    return step_core, cast, x0_mean, S0_np, float(x0_dof), dim_y
+    if fixed_dof:
+        # dof_pr = min(dof_fi, q_dof, r_dof) never exceeds min(q, r), so the
+        # per-step predictive scale is bounded by this static supremum (the
+        # smoother's joint-factorization existence check needs it)
+        m_dof = min(q_dof_f, r_dof_f)
+        scale_sup = (m_dof - 2.0) / m_dof
+    else:
+        scale_sup = init_scale
+    cores = dict(step=step_core, pred_scale=pred_scale, time_dev=time_dev,
+                 meas=meas_core, statics_d=dict(statics_d, Sq=Sq_),
+                 bq_dyn=statics_d.get("bq", False), scale_sup=scale_sup)
+    return cores, cast, x0_mean, S0_np, float(x0_dof), dim_y
 
 
 def make_sqrt_studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs,
@@ -1038,8 +1125,9 @@ def make_sqrt_studentian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs,
     """
     from .ssinf import _scan_unroll
     unroll = _scan_unroll(unroll)
-    step_core, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
+    cores, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof, dtype)
+    step_core = cores["step"]
 
     @jax.jit
     def filter_fn(data, init_mean=None, init_sqrt=None):
@@ -1097,8 +1185,9 @@ def make_online_sqrt_student_filter(mod_dyn, mod_obs, tf_dyn, tf_obs,
     ``info.innov_sqrt`` — two triangular substitutions — which is how a
     serving stack rejects glint outliers *before* they enter the state.
     """
-    step_core, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
+    cores, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
         mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof, dtype)
+    step_core = cores["step"]
 
     def _leaves():
         return dict(mean=cast(m0_np), sqrt=cast(S0_np), dof=cast(dof0),
@@ -1150,6 +1239,8 @@ class SquareRootStudent:
         self.tf_dyn, self.tf_obs = tf_dyn, tf_obs
         self._filter = make_sqrt_studentian_filter(
             dyn, obs, tf_dyn, tf_obs, dof=dof, fixed_dof=fixed_dof, dtype=dtype)
+        self._opts = dict(dof=dof, fixed_dof=fixed_dof, dtype=dtype)
+        self._smoother = None
         self._result = None
 
     def forward_pass(self, data):
@@ -1164,5 +1255,212 @@ class SquareRootStudent:
         cov = jnp.einsum("mijn,mkjn->mikn", res.fi_cov_sqrt, res.fi_cov_sqrt)
         return res.fi_mean, cov
 
+    def smooth(self, data):
+        """Square-root Student RTS smoothing (textbook indexing): returns
+        ``(sm_mean, sm_smat)`` with the smoothed SCALE matrices reconstituted
+        as ``S S^T`` — the factor twin of ``StudentianInference.
+        backward_pass`` fed :func:`studentian_smoother` semantics."""
+        if self._smoother is None:
+            self._smoother = make_sqrt_studentian_smoother(
+                self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs,
+                **self._opts)
+        res, sm_m, sm_S = self._smoother(jnp.asarray(data))
+        self._result = res
+        return sm_m, jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+
     def reset(self):
         self._result = None
+
+
+def _rule_recon_scalar(st_) -> float:
+    """The dynamics rule's covariance-weight reconstruction factor ``c``:
+    require ``sum_i wc_i xi_i xi_i^T = c I`` and return ``c`` (1 for
+    SR/UT/GH, ``dof/(dof - 2)`` for the FS Student rule).  The Student
+    square-root smoother corrects its joint factorization by exactly
+    ``(1 - scale*c) P_fi`` (see :func:`_make_student_predict_joint`), which
+    only exists for scalar-multiple reconstructions."""
+    recon = st_["xi_d"] @ np.diag(st_["wc_d_np"]) @ st_["xi_d"].T
+    c = float(np.trace(recon) / recon.shape[0])
+    atol = 1000.0 * float(np.finfo(np.asarray(st_["wc_d_np"]).dtype).eps)
+    if not np.allclose(recon, c * np.eye(recon.shape[0]),
+                       atol=atol * max(1.0, abs(c))):
+        raise TypeError(
+            "square-root Student smoothing needs a sigma-point rule whose "
+            "covariance weights reconstruct a scalar multiple of identity "
+            f"(sum wc_i xi_i xi_i^T = c I); this rule reconstructs\n{recon}")
+    return c
+
+
+def _make_student_predict_joint(cores, dim):
+    """Joint (x_pred, x_prev) factorization for the Student smoother.
+
+    The Student joint SCALE matrix is NOT representable by shared sigma-point
+    deviations: the predicted block and the cross block carry the per-step
+    predictive scale ``s = (nu_pr - 2)/nu_pr`` while the previous-filtered
+    block is the carry ``P_fi`` itself, so a shared-deviation QR (bottom rows
+    ``sqrt(s) * dX``) reproduces ``s*c*P_fi`` in the bottom block — ``c`` the
+    rule's reconstruction factor — instead of ``P_fi``.  The gain ``G`` and
+    the predicted factor from that QR are EXACT anyway (they only involve the
+    predicted and cross blocks); the conditional factor is off by exactly
+
+        R22_true R22_true^T = R22_joint R22_joint^T + (1 - s*c) P_fi,
+
+    a rank-``dim`` correction applied as signed rank-1 updates with the
+    columns of the carried factor ``S`` (``cholupdate_small`` takes either
+    sign; for matched dofs ``s*c = 1`` and the correction vanishes).  BQ
+    dynamics use the closed-form joint columns whose bottom block reproduces
+    ``P_fi`` exactly (``c = 1``), so there ``1 - s > 0`` always: a pure
+    positive update, PD by construction like the Gaussian BQ smoother.
+    """
+    st_ = cores["statics_d"]
+    time_dev, pred_scale = cores["time_dev"], cores["pred_scale"]
+    Sq_ = st_["Sq"]
+
+    def _check_exists(c, kind):
+        """The correction ``(1 - scale*c) P_fi`` only has a Cholesky-factor
+        form when the implied conditional ``P_fi - G P_pr G^T`` stays PSD;
+        ``scale*c > 1`` (a rule/kernel built for heavier tails than the
+        filter's own predictive scale) breaks that — the full-covariance
+        :func:`ssmtoybox_tpu.ssinf.studentian_smoother` has no such
+        constraint.  Matched dofs give ``scale*c = 1`` exactly."""
+        sup = cores["scale_sup"] * c
+        if sup > 1.0 + 1e-9:
+            raise TypeError(
+                f"square-root Student smoothing needs scale*c <= 1: the "
+                f"predictive scale reaches {cores['scale_sup']:.4f} while the "
+                f"{kind} reconstructs c={c:.4f} times identity "
+                f"(scale*c={sup:.4f} > 1), so the conditional covariance "
+                f"P_fi - G P_pr G^T is indefinite and has no factor — match "
+                f"the rule/kernel dof to the filter and noise dofs, or use "
+                f"the full-covariance studentian_smoother")
+
+    if not cores["bq_dyn"]:
+        c = _rule_recon_scalar(st_)
+        _check_exists(c, "dynamics rule")
+        sqrt_pos_d, wc_d, neg_d = st_["sqrt_pos_d"], st_["wc_d"], st_["neg_d"]
+
+        def predict_joint(m, S, dof_fi, k):
+            scale, ssc = pred_scale(S, dof_fi)
+            m_pr, fX, dfx, dX_in = time_dev(m, S, k)
+            zeros = jnp.zeros(dX_in.shape[:-1] + (Sq_.shape[-1],), dX_in.dtype)
+            top = jnp.concatenate([dfx * sqrt_pos_d * ssc, Sq_ + zeros], axis=-1)
+            bot = jnp.concatenate([dX_in * sqrt_pos_d * ssc, zeros], axis=-1)
+            L = _qr_factor(jnp.concatenate([top, bot], axis=-2))
+            for i in neg_d:
+                v = ssc * jnp.concatenate([dfx[..., :, i], dX_in[..., :, i]],
+                                          axis=-1)
+                L = cholupdate_small(L, v, wc_d[i])
+            L11 = L[..., :dim, :dim]
+            L21 = L[..., dim:, :dim]
+            R22 = L[..., dim:, dim:]
+            Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
+                                 jnp.swapaxes(L21, -1, -2), lower=False)
+            beta = 1.0 - scale * c
+            for j in range(dim):
+                R22 = cholupdate_small(R22, S[..., :, j], beta)
+            return scale, ssc, m_pr, L11, jnp.swapaxes(Gt, -1, -2), R22
+        return predict_joint
+
+    # BQ dynamics: closed-form joint columns (cf. _make_joint_factor_bq),
+    # with sqrt(scale) on every transform column and sqrt(scale*kappa) on
+    # the bottom block — kappa the kernel's weighting scalar
+    # (:func:`_bq_joint_pieces`); the bottom excess scale*kappa*P_fi is
+    # corrected to P_fi by the rank-dim update below
+    kap, WccT_, W_hat_ = _bq_joint_pieces(st_)
+    _check_exists(kap, "kernel weighting density")
+    emv_cols = st_["emv_cols_b"]
+
+    def predict_joint(m, S, dof_fi, k):
+        scale, ssc = pred_scale(S, dof_fi)
+        m_pr, fX, _, _ = time_dev(m, S, k)
+        A1 = ssc * small_matmul(fX, WccT_.astype(fX.dtype))
+        A2 = ssc * small_matmul(fX, W_hat_.astype(fX.dtype))
+        E = ssc * (emv_cols(fX) + jnp.zeros(fX.shape[:-2] + (1, 1), fX.dtype))
+        nq = Sq_.shape[-1]
+        top = jnp.concatenate(
+            [A1, A2, E, Sq_.astype(fX.dtype) +
+             jnp.zeros(fX.shape[:-2] + (1, 1), fX.dtype)], axis=-1)
+        pad = jnp.zeros(S.shape[:-1] + (A2.shape[-1] + E.shape[-1] + nq,),
+                        S.dtype)
+        bot = jnp.concatenate([(float(np.sqrt(kap)) * ssc) * S, pad], axis=-1)
+        L = _qr_factor(jnp.concatenate([top, bot], axis=-2))
+        L11 = L[..., :dim, :dim]
+        L21 = L[..., dim:, :dim]
+        R22 = L[..., dim:, dim:]
+        Gt = tri_solve_small(jnp.swapaxes(L11, -1, -2),
+                             jnp.swapaxes(L21, -1, -2), lower=False)
+        beta = 1.0 - scale * kap
+        for j in range(dim):
+            R22 = cholupdate_small(R22, S[..., :, j], beta)
+        return scale, ssc, m_pr, L11, jnp.swapaxes(Gt, -1, -2), R22
+    return predict_joint
+
+
+def make_sqrt_studentian_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs,
+                                  dof: float = 4.0, fixed_dof: bool = True,
+                                  dtype=None, unroll: int | None = None):
+    """Square-root STUDENT-t RTS smoother (textbook indexing).
+
+    Factor-form twin of :func:`ssmtoybox_tpu.ssinf.studentian_smoother`
+    (itself a beyond-parity feature — the reference leaves its Student
+    smoother unimplemented, ``ssinf.py:738-740``): returns ``smooth_fn(data)
+    -> (SqrtStudentFilterResult, sm_mean, sm_sqrt)`` with ``sm_sqrt`` lower
+    factors of the smoothed SCALE matrices (multiply ``S S^T`` by
+    ``dof/(dof - 2)`` with the terminal ``dof_fi`` for moment covariances).
+    The forward pass triangularizes the joint time-update deviations with
+    the Student scale corrections of :func:`_make_student_predict_joint`;
+    the backward pass is the array RTS, one QR per step.
+    """
+    from .ssinf import _scan_unroll
+    unroll = _scan_unroll(unroll)
+    cores, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof, dtype)
+    meas_core = cores["meas"]
+    dim = S0_np.shape[0]
+    predict_joint = _make_student_predict_joint(cores, dim)
+
+    @jax.jit
+    def smooth_fn(data, init_mean=None, init_sqrt=None):
+        m0 = cast(m0_np) if init_mean is None else cast(init_mean)
+        S0 = cast(S0_np) if init_sqrt is None else cast(init_sqrt)
+        data_ = cast(data)
+        n_steps = data_.shape[-1]
+
+        def fstep(carry, inp):
+            m, S, dof_fi = carry
+            y, k = inp
+            scale, ssc, m_pr, S_pr, G, R22 = predict_joint(m, S, dof_fi, k)
+            y_pr, S_yy, m_fi, S_cov, S_fi, dof_next = meas_core(
+                m_pr, S_pr, scale, ssc, dof_fi, y, k)
+            return (m_fi, S_fi, dof_next), (m_pr, S_pr, m_fi, S_cov, S_fi,
+                                            dof_next, G, R22)
+
+        ks = jnp.arange(1, n_steps + 1)
+        _, (pr_m, pr_S, fi_m, fi_C, fi_S, dofs, Gs, R22s) = jax.lax.scan(
+            fstep, (m0, S0, cast(dof0)), (data_.T, ks), unroll=unroll)
+
+        def bstep(carry, inp):
+            m_sm_next, S_sm_next = carry
+            m_fi, G, R22, m_pr_next = inp
+            m_sm = m_fi + small_matmul(G, m_sm_next - m_pr_next)
+            S_sm = _qr_factor(jnp.concatenate(
+                [R22, small_matmul(G, S_sm_next)], axis=-1))
+            return (m_sm, S_sm), (m_sm, S_sm)
+
+        xs = (fi_m[:-1], Gs[1:], R22s[1:], pr_m[1:])
+        _, (sm_m, sm_S) = jax.lax.scan(bstep, (fi_m[-1], fi_S[-1]), xs,
+                                       reverse=True, unroll=unroll)
+        sm_m = jnp.concatenate([sm_m, fi_m[-1:]], axis=0)
+        sm_S = jnp.concatenate([sm_S, fi_S[-1:]], axis=0)
+
+        result = SqrtStudentFilterResult(
+            fi_mean=jnp.moveaxis(fi_m, 0, -1),
+            fi_cov_sqrt=jnp.moveaxis(fi_C, 0, -1),
+            fi_smat_sqrt=jnp.moveaxis(fi_S, 0, -1),
+            dof_fi=dofs,
+            pr_mean=jnp.moveaxis(pr_m, 0, -1),
+            pr_smat_sqrt=jnp.moveaxis(pr_S, 0, -1),
+        )
+        return result, jnp.moveaxis(sm_m, 0, -1), jnp.moveaxis(sm_S, 0, -1)
+
+    return smooth_fn

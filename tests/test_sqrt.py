@@ -786,3 +786,106 @@ class TestSqrtStudent:
         dyn, obs, _, _ = ungm_student
         with pytest.raises(ValueError, match="both tf_dyn and tf_obs"):
             st.SquareRootStudent(dyn, obs, tf_dyn=self._fs(dyn.dim_in))
+
+
+class TestSqrtStudentSmoother:
+    """Square-root Student RTS vs ssinf.studentian_smoother (rts_full):
+    the joint factorization with the (1 - scale*c) conditional correction."""
+
+    @staticmethod
+    def _fs(dim, degree=3):
+        from ssmtoybox_tpu.mtran import FullySymmetricStudentTransform
+        return FullySymmetricStudentTransform(dim, degree, None, 4.0)
+
+    @pytest.mark.parametrize("degree,dof", [(3, 4.0), (3, 6.0), (5, 4.0)])
+    def test_matches_full_fs(self, ungm_student, degree, dof):
+        """deg-3/dof-6 exercises scale*c = 1 exactly (dof_pr capped at the
+        noise dofs); deg-5 exercises the larger joint."""
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_smoother
+        from ssmtoybox_tpu.ssinf import studentian_filter, studentian_smoother
+        dyn, obs, _, y = ungm_student
+        td, to = self._fs(dyn.dim_in, degree), self._fs(obs.dim_in, degree)
+        full = studentian_filter(dyn, obs, td, to, y, dof=dof, fixed_dof=True)
+        sm_m_full, sm_S_full = studentian_smoother(full, rts_full=True)
+        res, sm_m, sm_S = make_sqrt_studentian_smoother(
+            dyn, obs, td, to, dof=dof, fixed_dof=True)(y)
+        np.testing.assert_allclose(np.asarray(sm_m), np.asarray(sm_m_full),
+                                   atol=1e-9)
+        smat = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+        np.testing.assert_allclose(np.asarray(smat), np.asarray(sm_S_full),
+                                   rtol=1e-8, atol=1e-10)
+        # the embedded forward pass is the filter itself
+        fi = studentian_filter(dyn, obs, td, to, y, dof=dof, fixed_dof=True)
+        np.testing.assert_allclose(np.asarray(res.fi_mean),
+                                   np.asarray(fi.fi_mean), atol=1e-9)
+
+    @pytest.mark.slow
+    def test_matches_full_tpq(self, ungm_student):
+        """BQ (TPQ) dynamics: the kappa-generalized joint columns — the
+        Student-weighted kernel's weighting covariance is kappa*I with
+        kappa = dof/(dof-2), and the Student filter's predictive scale
+        compensates it exactly (scale*kappa = 1 for matched dofs)."""
+        from ssmtoybox_tpu.bq.transforms import StudentTProcessTransform
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_smoother
+        from ssmtoybox_tpu.ssinf import studentian_filter, studentian_smoother
+        dyn, obs, _, y = ungm_student
+        y = y[:, :50]
+        kp = np.array([[1.0, 1.0]])
+        mc = dict(num_samples=20_000, num_batches=10)
+        td = StudentTProcessTransform.create(dyn.dim_in, 1, kp, "rbf-student",
+                                             "fs", dict(dof=4.0), nu=4.0, mc_opts=mc)
+        to = StudentTProcessTransform.create(obs.dim_in, 1, kp, "rbf-student",
+                                             "fs", dict(dof=4.0), nu=4.0, mc_opts=mc)
+        full = studentian_filter(dyn, obs, td, to, y, dof=4.0, fixed_dof=True)
+        sm_m_full, sm_S_full = studentian_smoother(full, rts_full=True)
+        res, sm_m, sm_S = make_sqrt_studentian_smoother(dyn, obs, td, to)(y)
+        np.testing.assert_allclose(np.asarray(sm_m), np.asarray(sm_m_full),
+                                   atol=1e-9)
+        smat = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
+        np.testing.assert_allclose(np.asarray(smat), np.asarray(sm_S_full),
+                                   rtol=1e-8, atol=1e-10)
+        # f32 stays finite/PD
+        _, m32, S32 = make_sqrt_studentian_smoother(dyn, obs, td, to,
+                                                    dtype=jnp.float32)(y)
+        assert m32.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(m32)))
+        assert bool(jnp.all(jnp.isfinite(S32)))
+
+    def test_rejects_mismatched_dofs(self, ungm_student):
+        """scale*c > 1 (filter dof heavier than the rule's): the conditional
+        covariance is indefinite, no factor exists — labeled refusal instead
+        of the NaNs a silent attempt produces."""
+        from ssmtoybox_tpu.sqrt import make_sqrt_studentian_smoother
+        dyn, obs, _, _ = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        with pytest.raises(TypeError, match="scale\\*c <= 1"):
+            make_sqrt_studentian_smoother(dyn, obs, td, to, dof=6.0,
+                                          fixed_dof=False)
+
+    def test_gaussian_smoother_rejects_student_kernel(self, ungm):
+        """The GAUSSIAN square-root smoother has no predictive scale to
+        compensate a Student-weighted kernel's kappa > 1 — it must refuse
+        (the silent eigh-clip alternative computes a wrong joint)."""
+        from ssmtoybox_tpu.bq.transforms import GaussianProcessTransform
+        from ssmtoybox_tpu.sqrt import make_sqrt_smoother
+        dyn, obs, _, _ = ungm
+        kp = np.array([[1.0, 1.0]])
+        tf = GaussianProcessTransform.create(1, 1, kp, "rbf-student", "fs",
+                                             dict(dof=4.0), num_samples=20_000,
+                                             num_batches=10)
+        with pytest.raises(TypeError, match="Student-weighted"):
+            make_sqrt_smoother(dyn, obs, tf, tf)
+
+    def test_class_smooth_method(self, ungm_student):
+        from ssmtoybox_tpu.ssinf import studentian_filter, studentian_smoother
+        dyn, obs, _, y = ungm_student
+        td = self._fs(dyn.dim_in)
+        alg = st.SquareRootStudent(dyn, obs, degree=3, dof=4.0)
+        sm_m, sm_S = alg.smooth(y)
+        full = studentian_filter(dyn, obs, alg.tf_dyn, alg.tf_obs, y,
+                                 dof=4.0, fixed_dof=True)
+        sm_m_full, sm_S_full = studentian_smoother(full, rts_full=True)
+        np.testing.assert_allclose(np.asarray(sm_m), np.asarray(sm_m_full),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sm_S), np.asarray(sm_S_full),
+                                   rtol=1e-8, atol=1e-10)
