@@ -89,7 +89,8 @@ __all__ = ["SqrtFilterResult", "make_sqrt_filter", "make_sqrt_smoother",
            "make_fixed_lag_sqrt_smoother", "SqrtStudentFilterResult",
            "make_sqrt_studentian_filter", "make_sqrt_studentian_smoother",
            "SqrtStudentOnlineState", "make_online_sqrt_student_filter",
-           "SquareRootStudent"]
+           "SquareRootStudent", "FixedLagSqrtStudentState",
+           "make_fixed_lag_sqrt_student_smoother"]
 
 
 class SqrtFilterResult(struct.PyTreeNode):
@@ -1464,3 +1465,105 @@ def make_sqrt_studentian_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs,
         return result, jnp.moveaxis(sm_m, 0, -1), jnp.moveaxis(sm_S, 0, -1)
 
     return smooth_fn
+
+
+class FixedLagSqrtStudentState(struct.PyTreeNode):
+    """Streaming square-root Student fixed-lag carry: filter state (mean,
+    SCALE factor, dof) plus ring buffers (oldest first) of the filtered
+    moments and the per-step smoother pieces, laid out exactly like
+    :class:`FixedLagSqrtState`."""
+
+    mean: jax.Array
+    sqrt: jax.Array
+    dof: jax.Array
+    step: jax.Array
+    buf_fi_m: jax.Array      # (L, D) or (B, L, D)
+    buf_fi_S: jax.Array      # (L, D, D) or (B, L, D, D)
+    buf_G: jax.Array
+    buf_R22: jax.Array
+    buf_pr_m: jax.Array      # (L, D) or (B, L, D)
+
+
+def make_fixed_lag_sqrt_student_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs,
+                                         lag: int, dof: float = 4.0,
+                                         fixed_dof: bool = True,
+                                         batch: bool = False,
+                                         donate: bool = True, dtype=None):
+    """Streaming FIXED-LAG Student smoothing in square-root form.
+
+    The outlier-robust twin of :func:`make_fixed_lag_sqrt_smoother`: every
+    buffered quantity is a Cholesky factor of a SCALE matrix, the forward
+    step is the factor-form Student update with the joint-factorization
+    pieces of :func:`_make_student_predict_joint` (same existence
+    constraint: ``scale*c <= 1``, matched dofs give equality), and each
+    arriving measurement re-smooths the ring buffer with one QR per lag
+    step.  ``step(state, y, observed=True) -> (state, info, (sm_mean,
+    sm_sqrt))`` emits the smoothed SCALE factor of the state ``lag - 1``
+    steps ago given all data so far; a dropped measurement keeps the
+    prediction and does not advance the dof.
+    """
+    if lag < 2:
+        raise ValueError(f"fixed-lag smoothing needs lag >= 2; got {lag} "
+                         f"(lag=1 is plain filtering — use "
+                         f"make_online_sqrt_student_filter)")
+    cores, cast, m0_np, S0_np, dof0, _ = _sqrt_student_machinery(
+        mod_dyn, mod_obs, tf_dyn, tf_obs, dof, fixed_dof, dtype)
+    meas_core = cores["meas"]
+    dim = S0_np.shape[0]
+    predict_joint = _make_student_predict_joint(cores, dim)
+
+    def _fresh_bufs():
+        m0, S0 = cast(m0_np), cast(S0_np)
+        zero_G = jnp.zeros((lag, dim, dim), dtype=S0.dtype)
+        return dict(
+            buf_fi_m=jnp.broadcast_to(m0, (lag,) + m0.shape),
+            buf_fi_S=jnp.broadcast_to(S0, (lag,) + S0.shape),
+            # zero gains during warmup: the backward scan then passes the
+            # buffered (prior) factors through unchanged
+            buf_G=zero_G,
+            buf_R22=jnp.broadcast_to(S0, (lag,) + S0.shape),
+            buf_pr_m=jnp.broadcast_to(m0, (lag,) + m0.shape),
+        )
+
+    def _leaves():
+        return dict(mean=cast(m0_np), sqrt=cast(S0_np), dof=cast(dof0),
+                    step=jnp.asarray(1, jnp.int32), **_fresh_bufs())
+
+    def _one(state: FixedLagSqrtStudentState, y, observed):
+        k = state.step
+        scale, ssc, m_pr, S_pr, G, R22 = predict_joint(
+            state.mean, state.sqrt, state.dof, k)
+        y_pr, S_yy, m_fi, _, S_fi, dof_next = meas_core(
+            m_pr, S_pr, scale, ssc, state.dof, y, k)
+        m_new = jnp.where(observed, m_fi, m_pr)
+        S_new = jnp.where(observed, S_fi, S_pr)
+        dof_new = jnp.where(observed, dof_next, state.dof)
+
+        shift = lambda buf, new: jnp.roll(buf, -1, axis=0).at[-1].set(new)
+        buf_fi_m = shift(state.buf_fi_m, m_new)
+        buf_fi_S = shift(state.buf_fi_S, S_new)
+        buf_G = shift(state.buf_G, G)
+        buf_R22 = shift(state.buf_R22, R22)
+        buf_pr_m = shift(state.buf_pr_m, m_pr)
+
+        def bstep(carry, inp):
+            m_sm_next, S_sm_next = carry
+            fi_m_j, G_j1, R22_j1, pr_m_j1 = inp
+            m_sm = fi_m_j + small_matmul(G_j1, m_sm_next - pr_m_j1)
+            S_sm = _qr_factor(jnp.concatenate(
+                [R22_j1, small_matmul(G_j1, S_sm_next)], axis=-1))
+            return (m_sm, S_sm), None
+
+        xs = (buf_fi_m[:-1], buf_G[1:], buf_R22[1:], buf_pr_m[1:])
+        (sm_m, sm_S), _ = jax.lax.scan(bstep, (buf_fi_m[-1], buf_fi_S[-1]),
+                                       xs, reverse=True)
+
+        new_state = FixedLagSqrtStudentState(
+            mean=m_new, sqrt=S_new, dof=dof_new, step=k + 1,
+            buf_fi_m=buf_fi_m, buf_fi_S=buf_fi_S, buf_G=buf_G,
+            buf_R22=buf_R22, buf_pr_m=buf_pr_m)
+        info = SqrtStepInfo(y_pred=y_pr, innov=y - y_pr, innov_sqrt=S_yy)
+        return new_state, info, (sm_m, sm_S)
+
+    return streaming_api(FixedLagSqrtStudentState, _leaves, _one, batch,
+                         donate, cast=cast)

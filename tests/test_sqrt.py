@@ -889,3 +889,35 @@ class TestSqrtStudentSmoother:
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(sm_S), np.asarray(sm_S_full),
                                    rtol=1e-8, atol=1e-10)
+
+    def test_fixed_lag_matches_offline(self, ungm_student):
+        """Each emitted lagged estimate equals the offline square-root
+        Student RTS on the truncated record (means and SCALE factors)."""
+        from ssmtoybox_tpu.sqrt import (make_fixed_lag_sqrt_student_smoother,
+                                        make_sqrt_studentian_smoother)
+        dyn, obs, _, y = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        lag, steps = 4, 10
+        data = jnp.asarray(y[:, :steps])
+        init, step = make_fixed_lag_sqrt_student_smoother(
+            dyn, obs, td, to, lag=lag, donate=False)
+        smooth = make_sqrt_studentian_smoother(dyn, obs, td, to)
+        state = init()
+        for n in range(1, steps + 1):
+            state, info, (sm_m, sm_S) = step(state, data[:, n - 1])
+            if n >= lag:
+                _, sm_all, sS_all = smooth(data[:, :n])
+                np.testing.assert_allclose(np.asarray(sm_m),
+                                           np.asarray(sm_all[:, n - lag]),
+                                           rtol=1e-9, atol=1e-9, err_msg=f"n={n}")
+                cov = sm_S @ sm_S.T
+                cov_all = sS_all[:, :, n - lag] @ sS_all[:, :, n - lag].T
+                np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_all),
+                                           rtol=1e-8, atol=1e-10, err_msg=f"n={n}")
+
+    def test_fixed_lag_rejects_lag_one(self, ungm_student):
+        from ssmtoybox_tpu.sqrt import make_fixed_lag_sqrt_student_smoother
+        dyn, obs, _, _ = ungm_student
+        td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
+        with pytest.raises(ValueError, match="lag >= 2"):
+            make_fixed_lag_sqrt_student_smoother(dyn, obs, td, to, lag=1)
