@@ -142,6 +142,31 @@ def _psd_chol(P: np.ndarray) -> np.ndarray:
         return v * np.sqrt(np.clip(w, 0.0, None))[None, :]
 
 
+def _check_record(data, dim_y: int):
+    """Friendly shape error for the class-API single-record entry points
+    (mirrors ``StateSpaceInference.forward_pass``, ssinf.py:569-574): a 3-D
+    batch passed here would silently broadcast into meaningless output."""
+    data = jnp.asarray(data)
+    if data.ndim != 2 or data.shape[0] != dim_y:
+        raise ValueError(
+            f"data must be (dim_y={dim_y}, num_steps); got {data.shape}. "
+            "For a batch of trajectories use forward_pass_batch((M, dim_y, N)).")
+    return data
+
+
+def _check_record_batch(data_batch, dim_y: int):
+    """Friendly shape error for the class-API batch entry points (mirrors
+    ``StateSpaceInference._check_batch``): a 2-D record would otherwise vmap
+    over the measurement dimension without raising."""
+    data_batch = jnp.asarray(data_batch)
+    if data_batch.ndim != 3 or data_batch.shape[1] != dim_y:
+        raise ValueError(
+            f"data_batch must be (num_traj, dim_y={dim_y}, num_steps); got "
+            f"{data_batch.shape}. For a single trajectory use "
+            "forward_pass((dim_y, N)).")
+    return data_batch
+
+
 def _jit_cols(d_: int) -> np.ndarray:
     """Jitter floor columns for non-additive models whose factorized
     covariances can be exactly singular (see the augmentation note in
@@ -448,27 +473,41 @@ def make_sqrt_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, dtype=None,
     return filter_fn
 
 
-def _check_identity_reconstruction(st_):
-    """The joint factorization's bottom block reconstructs the filtered
-    covariance as ``S_fi (sum_i wc_i xi_i xi_i^T) S_fi^T`` — only valid for
-    rules whose covariance weights reproduce identity.  The fully-symmetric
-    Student rule reconstructs ``dof/(dof-2) * I`` instead, which would
-    silently inflate every smoothed covariance."""
+def _rule_recon_scalar(st_) -> float:
+    """The dynamics rule's covariance-weight reconstruction factor ``c``:
+    require ``sum_i wc_i xi_i xi_i^T = c I`` and return ``c`` (1 for
+    SR/UT/GH, ``dof/(dof - 2)`` for the FS Student rule).  The Student
+    square-root smoother corrects its joint factorization by exactly
+    ``(1 - scale*c) P_fi`` (see :func:`_make_student_predict_joint`), which
+    only exists for scalar-multiple reconstructions."""
     recon = st_["xi_d"] @ np.diag(st_["wc_d_np"]) @ st_["xi_d"].T
-    # tolerance must scale with the STORED dtype: in f32 (the module's
-    # serving configuration, x64 disabled) GH reconstruction noise is ~4e-9,
-    # which a fixed 1e-10 would spuriously reject; 1000*eps gives 1.2e-4
-    # (f32) / 2.2e-13 (f64) — both orders away from the dof/(dof-2) scale
-    # error this check exists to catch.  The rule spans the transform's
-    # full input dim (augmented for non-additive models); identity over it
-    # implies identity over the state leading block the smoother needs.
+    c = float(np.trace(recon) / recon.shape[0])
     atol = 1000.0 * float(np.finfo(np.asarray(st_["wc_d_np"]).dtype).eps)
-    if not np.allclose(recon, np.eye(recon.shape[0]), atol=atol):
+    if not np.allclose(recon, c * np.eye(recon.shape[0]),
+                       atol=atol * max(1.0, abs(c))):
         raise TypeError(
-            "square-root smoothing requires a sigma-point rule whose covariance "
-            "weights reconstruct identity (sum wc_i xi_i xi_i^T = I); this rule "
-            f"reconstructs\n{recon}\n(the FS Student rule scales by dof/(dof-2)) "
-            "— use the full-covariance smoother for it")
+            "square-root Student smoothing needs a sigma-point rule whose "
+            "covariance weights reconstruct a scalar multiple of identity "
+            f"(sum wc_i xi_i xi_i^T = c I); this rule reconstructs\n{recon}")
+    return c
+
+
+def _check_identity_reconstruction(st_):
+    """The GAUSSIAN joint factorization's bottom block reconstructs the
+    filtered covariance as ``S_fi (sum_i wc_i xi_i xi_i^T) S_fi^T`` — valid
+    only for rules whose covariance weights reproduce identity (``c = 1`` in
+    :func:`_rule_recon_scalar`; the FS Student rule reconstructs
+    ``dof/(dof-2) I``, which would silently inflate every smoothed
+    covariance — the STUDENT square-root smoother handles those through its
+    scale correction instead)."""
+    c = _rule_recon_scalar(st_)
+    if abs(c - 1.0) > 1e-9:
+        raise TypeError(
+            "square-root smoothing requires a sigma-point rule whose "
+            "covariance weights reconstruct identity (sum wc_i xi_i xi_i^T "
+            f"= I); this rule reconstructs {c:.6g} * I (the FS Student rule "
+            "scales by dof/(dof-2)) — use the full-covariance smoother or "
+            "the Student square-root smoother for it")
 
 
 def _make_joint_factor(st_, dim):
@@ -805,13 +844,14 @@ class SquareRootKalman:
         self._result = None
 
     def forward_pass(self, data):
-        res = self._filter(jnp.asarray(data))
+        res = self._filter(_check_record(data, int(self.mod_obs.dim_out)))
         self._result = res
         cov = jnp.einsum("ijn,kjn->ikn", res.fi_sqrt, res.fi_sqrt)
         return res.fi_mean, cov
 
     def forward_pass_batch(self, data_batch):
-        res = jax.vmap(self._filter)(jnp.asarray(data_batch))
+        res = jax.vmap(self._filter)(
+            _check_record_batch(data_batch, int(self.mod_obs.dim_out)))
         self._result = res
         cov = jnp.einsum("mijn,mkjn->mikn", res.fi_sqrt, res.fi_sqrt)
         return res.fi_mean, cov
@@ -823,7 +863,8 @@ class SquareRootKalman:
             self._smoother = make_sqrt_smoother(
                 self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs,
                 dtype=self._dtype)
-        res, sm_m, sm_S = self._smoother(jnp.asarray(data))
+        res, sm_m, sm_S = self._smoother(
+            _check_record(data, int(self.mod_obs.dim_out)))
         self._result = res
         return sm_m, jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
 
@@ -1245,13 +1286,14 @@ class SquareRootStudent:
         self._result = None
 
     def forward_pass(self, data):
-        res = self._filter(jnp.asarray(data))
+        res = self._filter(_check_record(data, int(self.mod_obs.dim_out)))
         self._result = res
         cov = jnp.einsum("ijn,kjn->ikn", res.fi_cov_sqrt, res.fi_cov_sqrt)
         return res.fi_mean, cov
 
     def forward_pass_batch(self, data_batch):
-        res = jax.vmap(self._filter)(jnp.asarray(data_batch))
+        res = jax.vmap(self._filter)(
+            _check_record_batch(data_batch, int(self.mod_obs.dim_out)))
         self._result = res
         cov = jnp.einsum("mijn,mkjn->mikn", res.fi_cov_sqrt, res.fi_cov_sqrt)
         return res.fi_mean, cov
@@ -1265,31 +1307,13 @@ class SquareRootStudent:
             self._smoother = make_sqrt_studentian_smoother(
                 self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs,
                 **self._opts)
-        res, sm_m, sm_S = self._smoother(jnp.asarray(data))
+        res, sm_m, sm_S = self._smoother(
+            _check_record(data, int(self.mod_obs.dim_out)))
         self._result = res
         return sm_m, jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
 
     def reset(self):
         self._result = None
-
-
-def _rule_recon_scalar(st_) -> float:
-    """The dynamics rule's covariance-weight reconstruction factor ``c``:
-    require ``sum_i wc_i xi_i xi_i^T = c I`` and return ``c`` (1 for
-    SR/UT/GH, ``dof/(dof - 2)`` for the FS Student rule).  The Student
-    square-root smoother corrects its joint factorization by exactly
-    ``(1 - scale*c) P_fi`` (see :func:`_make_student_predict_joint`), which
-    only exists for scalar-multiple reconstructions."""
-    recon = st_["xi_d"] @ np.diag(st_["wc_d_np"]) @ st_["xi_d"].T
-    c = float(np.trace(recon) / recon.shape[0])
-    atol = 1000.0 * float(np.finfo(np.asarray(st_["wc_d_np"]).dtype).eps)
-    if not np.allclose(recon, c * np.eye(recon.shape[0]),
-                       atol=atol * max(1.0, abs(c))):
-        raise TypeError(
-            "square-root Student smoothing needs a sigma-point rule whose "
-            "covariance weights reconstruct a scalar multiple of identity "
-            f"(sum wc_i xi_i xi_i^T = c I); this rule reconstructs\n{recon}")
-    return c
 
 
 def _make_student_predict_joint(cores, dim):
@@ -1309,9 +1333,11 @@ def _make_student_predict_joint(cores, dim):
     a rank-``dim`` correction applied as signed rank-1 updates with the
     columns of the carried factor ``S`` (``cholupdate_small`` takes either
     sign; for matched dofs ``s*c = 1`` and the correction vanishes).  BQ
-    dynamics use the closed-form joint columns whose bottom block reproduces
-    ``P_fi`` exactly (``c = 1``), so there ``1 - s > 0`` always: a pure
-    positive update, PD by construction like the Gaussian BQ smoother.
+    dynamics use the closed-form joint columns of :func:`_bq_joint_pieces`
+    with the kernel's weighting scalar ``kappa`` in the role of ``c``: the
+    bottom block carries ``sqrt(s*kappa) S`` (its ``s*kappa*P_fi`` excess
+    corrected by ``beta = 1 - s*kappa``, zero for matched dofs), and the
+    same ``s*c <= 1`` existence constraint applies.
     """
     st_ = cores["statics_d"]
     time_dev, pred_scale = cores["time_dev"], cores["pred_scale"]

@@ -921,3 +921,24 @@ class TestSqrtStudentSmoother:
         td, to = self._fs(dyn.dim_in), self._fs(obs.dim_in)
         with pytest.raises(ValueError, match="lag >= 2"):
             make_fixed_lag_sqrt_student_smoother(dyn, obs, td, to, lag=1)
+
+    def test_shape_guards(self, ungm_student):
+        """Class-API entry points reject swapped record/batch shapes instead
+        of silently vmapping over the wrong axis (mirrors
+        StateSpaceInference's guards, ssinf.py:569-574)."""
+        dyn, obs, _, y = ungm_student
+        alg = st.SquareRootStudent(dyn, obs, degree=3, dof=4.0)
+        with pytest.raises(ValueError, match="forward_pass_batch"):
+            alg.forward_pass(y[None])                    # batch into single
+        with pytest.raises(ValueError, match="single trajectory"):
+            alg.forward_pass_batch(y)                    # single into batch
+        with pytest.raises(ValueError, match="forward_pass_batch"):
+            alg.smooth(y[None])
+        dyn_g = UNGMTransition.create(GaussRV.create(1, cov=1.0),
+                                      GaussRV.create(1, cov=10.0))
+        obs_g = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+        srk = SquareRootKalman(dyn_g, obs_g, points="ut")
+        with pytest.raises(ValueError, match="forward_pass_batch"):
+            srk.forward_pass(np.zeros((3, 1, 10)))
+        with pytest.raises(ValueError, match="single trajectory"):
+            srk.forward_pass_batch(np.zeros((1, 10)))
