@@ -38,6 +38,7 @@ run_stage bench 2700 python bench.py
 #    with the tunnel down).  Scores are hardware-independent; what these
 #    re-measure is the per-filter TPU wall-clock quoted in RESULTS.md.
 run_stage icinco_ungm   2700 python experiments/icinco_ungm.py
+run_stage tpq_cv        3600 python experiments/tpq_constant_velocity.py
 run_stage tpq_ungm      3600 python experiments/tpq_ungm.py
 run_stage gpqd_demo     1800 python experiments/gpqd_demo.py
 run_stage marginal_ungm 2700 python experiments/marginal_ungm.py
