@@ -1,0 +1,153 @@
+"""Serving-latency benchmark: per-step wall-clock of the STREAMING filters.
+
+The batch benchmarks (bench.py, tools/bench_sqrt.py) measure offline
+throughput — vmapped scans over full records.  A serving stack cares about
+something else entirely: the latency of ONE `step(state, y)` call with
+donated buffers, which on TPU is dispatch-bound (the state is tiny; the
+cost is the host->device round trip plus a handful of kernel launches).
+
+Measures median and p99 per-step latency, after warmup, for:
+
+- full-covariance Gaussian streaming filter (`online.make_online_filter`)
+- square-root f32 Gaussian filter (`sqrt.make_online_sqrt_filter`)
+- square-root f32 STUDENT filter (`sqrt.make_online_sqrt_student_filter`)
+- square-root f32 fixed-lag smoother, lag=8 (`sqrt.make_fixed_lag_sqrt_smoother`)
+
+on UNGM (1-D) and reentry (5-D radar), single-target and batch=64 targets
+(multi-target tracking amortizes the dispatch across the batch axis).
+
+Usage: python tools/bench_serving.py [--steps 300] [--batch 64] [--json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _percentiles(ts):
+    a = np.asarray(ts) * 1e6            # seconds -> microseconds
+    return dict(median_us=float(np.median(a)), p99_us=float(np.percentile(a, 99)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300, help="timed steps per config")
+    ap.add_argument("--warmup", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--json", action="store_true", help="one JSON line per row")
+    args = ap.parse_args()
+
+    platform = os.environ.get("SSMTPU_PLATFORM", "").strip().lower()
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_enable_x64", True)   # model params in f64; serving casts
+    import jax.numpy as jnp
+    from ssmtoybox_tpu.ssmod import (UNGMTransition, UNGMMeasurement,
+                                     ReentryVehicle2DTransition, Radar2DMeasurement)
+    from ssmtoybox_tpu.utils import GaussRV, StudentRV
+    from ssmtoybox_tpu.mtran import UnscentedTransform, FullySymmetricStudentTransform
+    from ssmtoybox_tpu.online import make_online_filter
+    from ssmtoybox_tpu.sqrt import (make_online_sqrt_filter,
+                                    make_online_sqrt_student_filter,
+                                    make_fixed_lag_sqrt_smoother)
+
+    print("devices:", jax.devices(), file=sys.stderr)
+
+    def ungm_models():
+        dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0),
+                                    GaussRV.create(1, cov=10.0))
+        obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+        return dyn, obs
+
+    def ungm_student_models():
+        dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                    StudentRV.create(1, scale=10.0, dof=4.0))
+        obs = UNGMMeasurement.create(StudentRV.create(1, scale=1.0, dof=4.0),
+                                     dim_state=1)
+        return dyn, obs
+
+    def reentry_models():
+        dyn = ReentryVehicle2DTransition.create(
+            GaussRV.create(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                           cov=np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0])),
+            GaussRV.create(3, cov=np.diag([2.4064e-5, 2.4064e-5, 1e-6])), dt=0.05)
+        obs = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([1e-3, 1e-5])),
+                                        dim_state=5, state_index=[0, 1],
+                                        radar_loc=np.array([6374.0, 0.0]))
+        return dyn, obs
+
+    def reentry_student_models():
+        dyn, obs = reentry_models()
+        # moment-matched Student twins (dof 4): scale = (dof-2)/dof * cov
+        s = 0.5
+        dyn = ReentryVehicle2DTransition.create(
+            StudentRV.create(5, mean=dyn.init_rv.mean, scale=s * dyn.init_rv.cov, dof=4.0),
+            StudentRV.create(3, scale=s * dyn.noise_rv.cov, dof=4.0), dt=0.05)
+        obs = Radar2DMeasurement.create(
+            StudentRV.create(2, scale=s * np.diag([1e-3, 1e-5]), dof=4.0),
+            dim_state=5, state_index=[0, 1], radar_loc=np.array([6374.0, 0.0]))
+        return dyn, obs
+
+    def measure(name, init, step, dim_y, batch_size=None):
+        key = jax.random.PRNGKey(0)
+        state = init(batch_size)
+        yshape = (batch_size, dim_y) if batch_size else (dim_y,)
+        ys = np.asarray(jax.random.normal(key, (args.warmup + args.steps,) + yshape))
+        out = None
+        for i in range(args.warmup):              # compile + steady-state warm
+            out = step(state, ys[i])
+            state = out[0]
+        jax.block_until_ready(state)
+        ts = []
+        for i in range(args.warmup, args.warmup + args.steps):
+            t0 = time.perf_counter()
+            out = step(state, ys[i])
+            state = out[0]
+            # force completion: fetch one scalar (block_until_ready can
+            # return early through the TPU tunnel)
+            float(jnp.sum(state.mean))
+            ts.append(time.perf_counter() - t0)
+        row = dict(config=name, steps=args.steps,
+                   batch=batch_size or 1, **_percentiles(ts))
+        if args.json:
+            print(json.dumps(row))
+        else:
+            print(f"{name:>44} batch={row['batch']:>3}: "
+                  f"median {row['median_us']:8.1f} us  p99 {row['p99_us']:8.1f} us")
+        return row
+
+    rows = []
+    for label, models, smodels in (("ungm", ungm_models, ungm_student_models),
+                                   ("reentry", reentry_models, reentry_student_models)):
+        dyn, obs = models()
+        sdyn, sobs = smodels()
+        ut_d = UnscentedTransform(dyn.dim_in)
+        ut_o = UnscentedTransform(obs.dim_in)
+        fs_d = FullySymmetricStudentTransform(sdyn.dim_in, 3, None, 4.0)
+        fs_o = FullySymmetricStudentTransform(sobs.dim_in, 3, None, 4.0)
+        dim_y = int(obs.dim_out)
+        for bs in (None, args.batch):
+            batch = bs is not None
+            init, step = make_online_filter(dyn, obs, ut_d, ut_o, batch=batch)
+            rows.append(measure(f"{label} full-cov f64 UKF", init, step, dim_y, bs))
+            init, step = make_online_sqrt_filter(dyn, obs, ut_d, ut_o,
+                                                 batch=batch, dtype=jnp.float32)
+            rows.append(measure(f"{label} sqrt f32 UKF", init, step, dim_y, bs))
+            init, step = make_online_sqrt_student_filter(sdyn, sobs, fs_d, fs_o,
+                                                         batch=batch,
+                                                         dtype=jnp.float32)
+            rows.append(measure(f"{label} sqrt f32 Student FSQ", init, step, dim_y, bs))
+            init, step = make_fixed_lag_sqrt_smoother(dyn, obs, ut_d, ut_o, lag=8,
+                                                      batch=batch, dtype=jnp.float32)
+            rows.append(measure(f"{label} sqrt f32 fixed-lag(8)", init, step, dim_y, bs))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,11 @@ run_stage tpq_ungm      3600 python experiments/tpq_ungm.py
 run_stage gpqd_demo     1800 python experiments/gpqd_demo.py
 run_stage marginal_ungm 2700 python experiments/marginal_ungm.py
 
-# 3. Square-root / time-parallel micro-benches (docs/performance.md tables).
-run_stage bench_sqrt 1800 python tools/bench_sqrt.py
-run_stage bench_iplf 1800 python tools/bench_iplf.py
+# 3. Square-root / time-parallel / serving micro-benches
+#    (docs/performance.md tables).
+run_stage bench_sqrt    1800 python tools/bench_sqrt.py
+run_stage bench_iplf    1800 python tools/bench_iplf.py
+run_stage bench_serving 1800 python tools/bench_serving.py
 
 echo "== done; logs in $OUT — fold the numbers into experiments/RESULTS.md"
 echo "   and docs/performance.md, then commit."
