@@ -360,3 +360,45 @@ def test_filter_bank_masks_each_metric(monkeypatch):
     assert row["diverged"] == 1
     for k in ("rmse", "nll", "nci", "inc"):
         assert np.isfinite(row[k]), (k, row[k])
+
+
+def test_streaming_serving_sharded(setup):
+    """Multi-target STREAMING serving shards over the dp axis: the jitted
+    online step preserves a dp-sharded target batch (state and measurements
+    alike), each step's outputs match the unsharded run, and the Student
+    factor path stays finite — the serving-side scale story (the offline
+    story is filter_mc_sharded)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ssmtoybox_tpu.sqrt import make_online_sqrt_student_filter
+    from ssmtoybox_tpu.mtran import FullySymmetricStudentTransform
+    from ssmtoybox_tpu.utils import StudentRV
+    dyn = UNGMTransition.create(StudentRV.create(1, dof=4.0),
+                                StudentRV.create(1, scale=10.0, dof=4.0))
+    obs = UNGMMeasurement.create(StudentRV.create(1, scale=1.0, dof=4.0),
+                                 dim_state=1)
+    fs = FullySymmetricStudentTransform(1, 3, None, 4.0)
+    mesh = make_mesh(dp=8, fb=1)
+    n_targets, steps = 16, 12
+    ys = np.asarray(jax.random.normal(jax.random.PRNGKey(7),
+                                      (steps, n_targets, 1)))
+
+    init, step = make_online_sqrt_student_filter(dyn, obs, fs, fs, batch=True,
+                                                 donate=False)
+    # unsharded reference trace
+    s_ref = init(n_targets)
+    ref_means = []
+    for k in range(steps):
+        s_ref, _ = step(s_ref, ys[k])
+        ref_means.append(np.asarray(s_ref.mean))
+
+    # dp-sharded serving: shard every state leaf and measurement batch
+    shard = NamedSharding(mesh, P("dp"))
+    s = init(n_targets)
+    s = jax.tree.map(lambda a: jax.device_put(a, shard) if a.ndim else a, s)
+    for k in range(steps):
+        s, info = step(s, jax.device_put(jnp.asarray(ys[k]), shard))
+        assert not s.mean.sharding.is_fully_replicated, "state lost dp sharding"
+        np.testing.assert_allclose(np.asarray(s.mean), ref_means[k],
+                                   rtol=1e-10, atol=1e-10)
+    assert np.isfinite(np.asarray(s.sqrt)).all()
+    assert float(jnp.min(s.dof)) > 4.0
