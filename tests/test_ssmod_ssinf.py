@@ -403,7 +403,8 @@ class TestResearchStudentFilters:
 
 
 class TestCompiledMarginal:
-    def test_compiled_marginal_matches_bfgs_early_steps(self, ungm):
+    def test_compiled_marginal_matches_bfgs_early_steps(self, ungm,
+                                                        fresh_executable_state):
         """The scan-Newton marginal filter tracks the scipy-BFGS path on the
         first step (both approximate the same Laplace posterior from the same
         prior; from step 2 the per-step parameter posterior is multimodal
@@ -420,7 +421,7 @@ class TestCompiledMarginal:
         assert bool(jnp.isfinite(fm_ref).all()) and bool(jnp.isfinite(fP_ref).all())
         assert bool(jnp.isfinite(fm_c).all()) and bool(jnp.isfinite(fP_c).all())
 
-    def test_marginal_smoother_runs(self, ungm):
+    def test_marginal_smoother_runs(self, ungm, fresh_executable_state):
         """MarginalInference smooths like the reference (which inherits the
         Gaussian RTS over the default-parameter predictive moments)."""
         dyn, obs = ungm
