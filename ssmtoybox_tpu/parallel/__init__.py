@@ -7,6 +7,11 @@ from .sqrttime import (parallel_affine_sqrt_filter, parallel_affine_sqrt_smoothe
                        parallel_linear_sqrt_filter, parallel_linear_sqrt_smoother)
 from .iplf import (slr_affine, parallel_affine_filter, parallel_affine_smoother,
                    IteratedSmootherResult, iterated_parallel_smoother)
+from .shardtime import (sharded_associative_scan,
+                        sharded_parallel_affine_filter,
+                        sharded_parallel_affine_smoother,
+                        sharded_parallel_affine_sqrt_filter,
+                        sharded_parallel_affine_sqrt_smoother)
 
 __all__ = [
     "make_mesh", "make_multihost_mesh", "shard_mc", "shard_mc_local",
@@ -17,4 +22,8 @@ __all__ = [
     "parallel_linear_sqrt_filter", "parallel_linear_sqrt_smoother",
     "slr_affine", "parallel_affine_filter", "parallel_affine_smoother",
     "IteratedSmootherResult", "iterated_parallel_smoother",
+    "sharded_associative_scan",
+    "sharded_parallel_affine_filter", "sharded_parallel_affine_smoother",
+    "sharded_parallel_affine_sqrt_filter",
+    "sharded_parallel_affine_sqrt_smoother",
 ]

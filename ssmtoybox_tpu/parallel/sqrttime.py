@@ -293,24 +293,11 @@ def _combine_sqrt_smoother(elem2, elem1):
     return E, g, D
 
 
-def parallel_affine_sqrt_smoother(Fs, bs, SQs, fi_mean, fi_sqrt,
-                                  scan_block_len: int | None = None
-                                  ) -> Tuple[jax.Array, jax.Array]:
-    """Square-root RTS smoothing of the parallel square-root filter output in
-    O(log N) depth.
-
-    Per-step elements come from ONE joint QR of the (predicted, filtered)
-    deviations — the same block triangularization as the sequential
-    square-root smoother (:func:`ssmtoybox_tpu.sqrt.make_sqrt_smoother`):
-
-        tria([[F S_fi, S_Q], [S_fi, 0]]) = [[S_pr, 0], [L21, L22]]
-
-    gives the gain ``G = L21 S_pr⁻¹`` and the conditional factor
-    ``L22 = sqrt(P_fi − G P_pr Gᵀ)`` without forming a covariance.  Returns
-    ``(sm_mean (D, N), sm_sqrt (D, D, N))``.
-    """
-    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
-    S = jnp.moveaxis(jnp.asarray(fi_sqrt), -1, 0)          # (N, D, D)
+def _sqrt_smoother_elements(Fs, bs, SQs, m, S):
+    """Per-step square-root RTS smoothing elements ``(E, g, D)`` for
+    filtered moments ``m (N, D)`` and factors ``S (N, D, D)``; the last step
+    keeps its filtered moments (shared by the unsharded and mesh-sharded
+    scans)."""
     d = S.shape[-1]
 
     def element(F, bd, SQ, mk, Sk):
@@ -330,6 +317,29 @@ def parallel_affine_sqrt_smoother(Fs, bs, SQs, fi_mean, fi_sqrt,
     E = jnp.concatenate([E, jnp.zeros((1, d, d), dtype=S.dtype)], axis=0)
     g = jnp.concatenate([g, m[-1:]], axis=0)
     D = jnp.concatenate([D, S[-1:]], axis=0)
+    return E, g, D
+
+
+def parallel_affine_sqrt_smoother(Fs, bs, SQs, fi_mean, fi_sqrt,
+                                  scan_block_len: int | None = None
+                                  ) -> Tuple[jax.Array, jax.Array]:
+    """Square-root RTS smoothing of the parallel square-root filter output in
+    O(log N) depth.
+
+    Per-step elements come from ONE joint QR of the (predicted, filtered)
+    deviations — the same block triangularization as the sequential
+    square-root smoother (:func:`ssmtoybox_tpu.sqrt.make_sqrt_smoother`):
+
+        tria([[F S_fi, S_Q], [S_fi, 0]]) = [[S_pr, 0], [L21, L22]]
+
+    gives the gain ``G = L21 S_pr⁻¹`` and the conditional factor
+    ``L22 = sqrt(P_fi − G P_pr Gᵀ)`` without forming a covariance.  Returns
+    ``(sm_mean (D, N), sm_sqrt (D, D, N))``.
+    """
+    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
+    S = jnp.moveaxis(jnp.asarray(fi_sqrt), -1, 0)          # (N, D, D)
+    d = S.shape[-1]
+    E, g, D = _sqrt_smoother_elements(Fs, bs, SQs, m, S)
 
     if scan_block_len:
         E_s, g_s, D_s = _blocked_associative_scan(

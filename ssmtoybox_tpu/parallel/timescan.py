@@ -146,17 +146,10 @@ def _combine_smoother(elem2, elem1):
     return E, g, L
 
 
-def parallel_affine_smoother(Fs, bs, Qs, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
-    """RTS-smooth the affine parallel filter output in O(log N) depth.
-
-    ``Fs/bs/Qs`` use the same indexing as :func:`parallel_affine_filter`
-    (element ``k`` maps step ``k-1`` to ``k``), so the smoothing element at
-    step ``k`` uses the dynamics into ``k+1``.  Textbook RTS — every step
-    smoothed from the final filtered estimate.
-    """
-    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
-    P = jnp.moveaxis(jnp.asarray(fi_cov), -1, 0)           # (N, D, D)
-
+def _affine_smoother_elements(Fs, bs, Qs, m, P):
+    """Per-step RTS smoothing elements ``(E, g, L)`` for filtered moments
+    ``m (N, D)``, ``P (N, D, D)``; the last step keeps its filtered moments
+    (shared by the unsharded and mesh-sharded scans)."""
     def element(F, bd, Q, mk, Pk):
         Pp = symmetrize(small_mm3(F, Pk, F.T) + Q)         # predictive at k+1
         G = pd_solve_small(Pp, small_matmul(F, Pk)).T      # smoother gain
@@ -169,7 +162,20 @@ def parallel_affine_smoother(Fs, bs, Qs, fi_mean, fi_cov) -> Tuple[jax.Array, ja
     E = jnp.concatenate([E, jnp.zeros_like(Fs[:1])], axis=0)
     g = jnp.concatenate([g, m[-1:]], axis=0)
     L = jnp.concatenate([L, P[-1:]], axis=0)
+    return E, g, L
 
+
+def parallel_affine_smoother(Fs, bs, Qs, fi_mean, fi_cov) -> Tuple[jax.Array, jax.Array]:
+    """RTS-smooth the affine parallel filter output in O(log N) depth.
+
+    ``Fs/bs/Qs`` use the same indexing as :func:`parallel_affine_filter`
+    (element ``k`` maps step ``k-1`` to ``k``), so the smoothing element at
+    step ``k`` uses the dynamics into ``k+1``.  Textbook RTS — every step
+    smoothed from the final filtered estimate.
+    """
+    m = jnp.moveaxis(jnp.asarray(fi_mean), -1, 0)          # (N, D)
+    P = jnp.moveaxis(jnp.asarray(fi_cov), -1, 0)           # (N, D, D)
+    E, g, L = _affine_smoother_elements(Fs, bs, Qs, m, P)
     E_s, g_s, L_s = jax.lax.associative_scan(_combine_smoother, (E, g, L), reverse=True)
     return jnp.moveaxis(g_s, 0, -1), jnp.moveaxis(jax.vmap(symmetrize)(L_s), 0, -1)
 
