@@ -46,6 +46,10 @@ from ..utils.linalg import (chol_small_psd, pd_solve_small, small_matmul,
 from .timescan import parallel_affine_filter, parallel_affine_smoother
 from .sqrttime import (_tria_pad, parallel_affine_sqrt_filter,
                        parallel_affine_sqrt_smoother)
+from .shardtime import (sharded_parallel_affine_filter,
+                        sharded_parallel_affine_smoother,
+                        sharded_parallel_affine_sqrt_filter,
+                        sharded_parallel_affine_sqrt_smoother)
 
 __all__ = [
     "slr_affine",
@@ -73,7 +77,8 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
                                warmup: int = 512, sqrt: bool = False,
                                dtype=None,
                                chol_jitter: float = 0.0,
-                               scan_block_len: int | None = None
+                               scan_block_len: int | None = None,
+                               mesh=None, mesh_axis: str = "t"
                                ) -> IteratedSmootherResult:
     """Iterated posterior-linearization smoother with a time-parallel core.
 
@@ -142,6 +147,17 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
     a diagonal stabilizer before the residual factorization (0 is fine in
     f64; f32 runs on stiff models may need ~1e-6 of the noise scale).
     Returned covariances are reconstituted ``S Sᵀ`` (PSD by construction).
+
+    ``mesh`` (a :class:`jax.sharding.Mesh` with axis ``mesh_axis``) routes
+    every affine filter/smoother pass through the mesh-sharded scans
+    (:mod:`ssmtoybox_tpu.parallel.shardtime`) — sequence parallelism for a
+    single long NONLINEAR record: per-device local scans, one ``all_gather``
+    of chunk aggregates per pass.  Results equal the unsharded smoother to
+    reassociation rounding.  The per-step SLR stays a global ``vmap`` —
+    embarrassingly parallel over time, so under ``jit`` GSPMD shards it over
+    the same devices with no code changes here.  Mutually exclusive with
+    ``scan_block_len`` (the per-device chunks already bound the live
+    temporaries to ``N / n_dev`` elements).
     """
     m0, P0 = mod_dyn.init_rv.get_stats()[:2]
     m0 = jnp.asarray(m0 if init_mean is None else init_mean)
@@ -165,6 +181,11 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
             "into the square-root scans — pass sqrt=True with it, or drop it; "
             "silently ignoring it would hit the very vmem ceiling it exists "
             "to avoid")
+    if mesh is not None and scan_block_len is not None:
+        raise ValueError(
+            "mesh and scan_block_len are mutually exclusive: the mesh-sharded "
+            "scans already bound live temporaries to N/n_dev elements per "
+            "device")
     data = jnp.asarray(data, dtype=m0.dtype)
     n_steps = data.shape[-1]
     # integer time stamps, like the sequential filter's k-1 (ssinf.py:183)
@@ -250,11 +271,17 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         if sqrt:
             Fs, bds, SQs = jax.vmap(slr_dyn_sqrt)(lin_m[:-1], lin_P[:-1], times)
             Hs, cs, SRs = jax.vmap(slr_obs_sqrt)(lin_m[1:], lin_P[1:], times)
-            fi_m, fi_cov = parallel_affine_sqrt_filter(
-                Fs, bds, SQs, Hs, cs, SRs, m0, S0, data,
-                scan_block_len=scan_block_len)
-            sm_m, sm_S = parallel_affine_sqrt_smoother(
-                Fs, bds, SQs, fi_m, fi_cov, scan_block_len=scan_block_len)
+            if mesh is not None:
+                fi_m, fi_cov = sharded_parallel_affine_sqrt_filter(
+                    Fs, bds, SQs, Hs, cs, SRs, m0, S0, data, mesh, mesh_axis)
+                sm_m, sm_S = sharded_parallel_affine_sqrt_smoother(
+                    Fs, bds, SQs, fi_m, fi_cov, mesh, mesh_axis)
+            else:
+                fi_m, fi_cov = parallel_affine_sqrt_filter(
+                    Fs, bds, SQs, Hs, cs, SRs, m0, S0, data,
+                    scan_block_len=scan_block_len)
+                sm_m, sm_S = parallel_affine_sqrt_smoother(
+                    Fs, bds, SQs, fi_m, fi_cov, scan_block_len=scan_block_len)
             # the next SLR consumes full smoothed covariances; the filtered
             # factor is carried as-is and reconstituted once after the loop
             sm_P = jnp.einsum("ijn,kjn->ikn", sm_S, sm_S)
@@ -275,8 +302,15 @@ def iterated_parallel_smoother(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
         else:
             Fs, bds, Qs = jax.vmap(slr_dyn)(lin_m[:-1], lin_P[:-1], times)
             Hs, cs, Rs = jax.vmap(slr_obs)(lin_m[1:], lin_P[1:], times)
-            fi_m, fi_cov = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs, m0, P0, data)
-            sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_cov)
+            if mesh is not None:
+                fi_m, fi_cov = sharded_parallel_affine_filter(
+                    Fs, bds, Qs, Hs, cs, Rs, m0, P0, data, mesh, mesh_axis)
+                sm_m, sm_P = sharded_parallel_affine_smoother(
+                    Fs, bds, Qs, fi_m, fi_cov, mesh, mesh_axis)
+            else:
+                fi_m, fi_cov = parallel_affine_filter(Fs, bds, Qs, Hs, cs, Rs,
+                                                      m0, P0, data)
+                sm_m, sm_P = parallel_affine_smoother(Fs, bds, Qs, fi_m, fi_cov)
 
             # smooth the prior-time state to refresh the step-0 linearization
             Pp1 = symmetrize(small_mm3(Fs[0], P0, Fs[0].T) + Qs[0])

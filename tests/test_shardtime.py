@@ -137,3 +137,46 @@ def test_sharded_sqrt_filter_f32_pd():
     assert bool(jnp.all(jnp.isfinite(fm))) and bool(jnp.all(jnp.isfinite(fS)))
     diag = jnp.diagonal(jnp.moveaxis(fS, -1, 0), axis1=-2, axis2=-1)
     assert bool(jnp.all(diag > 0))
+
+
+# ----------------------------------------- nonlinear iterated smoother
+
+def test_mesh_iterated_smoother_matches_unsharded():
+    """Sequence-parallel NONLINEAR smoothing: `iterated_parallel_smoother`
+    with `mesh=` routes its affine passes through the sharded scans and must
+    equal the single-chip result.  30 steps — indivisible by 8, so the
+    identity padding is exercised through the nonlinear path too."""
+    from ssmtoybox_tpu.mtran import UnscentedTransform
+    from ssmtoybox_tpu.parallel.iplf import iterated_parallel_smoother
+    from test_iplf import _pendulum_setup
+
+    dyn, obs, x_true, y = _pendulum_setup(steps=30)
+    tf = UnscentedTransform(2)
+    ref = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2)
+    got = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2,
+                                     mesh=_time_mesh())
+    np.testing.assert_allclose(np.asarray(got.sm_mean), np.asarray(ref.sm_mean),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.sm_cov), np.asarray(ref.sm_cov),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.fi_mean), np.asarray(ref.fi_mean),
+                               rtol=1e-8, atol=1e-8)
+
+    # sqrt routing composes with the mesh (f64 equality to the full-cov mesh run)
+    got_sq = iterated_parallel_smoother(dyn, obs, tf, tf, y, iterations=2,
+                                        sqrt=True, mesh=_time_mesh())
+    np.testing.assert_allclose(np.asarray(got_sq.sm_mean), np.asarray(ref.sm_mean),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_sq.sm_cov), np.asarray(ref.sm_cov),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mesh_with_scan_block_len_raises():
+    from ssmtoybox_tpu.mtran import UnscentedTransform
+    from ssmtoybox_tpu.parallel.iplf import iterated_parallel_smoother
+    from test_iplf import _pendulum_setup
+    dyn, obs, x_true, y = _pendulum_setup(steps=16)
+    tf = UnscentedTransform(2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        iterated_parallel_smoother(dyn, obs, tf, tf, y, sqrt=True,
+                                   scan_block_len=8, mesh=_time_mesh())
