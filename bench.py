@@ -42,7 +42,10 @@ def _timed(thunk):
 
 
 def tpu_run(try_unrolls=(1, 8)):
-    """Run the three study workloads; returns (total_wallclock, y, y_re).
+    """Run the three study workloads; returns (lanes, unrolls, y, y_re) where
+    ``lanes`` maps lane name -> wall-clock seconds and ``unrolls`` maps lane
+    name -> winning scan-unroll factor (for cross-round drift tracking,
+    VERDICT r3 #7).
 
     ``try_unrolls``: per workload, compile one variant per scan-unroll value
     and keep the fastest — the sequential time loop is dispatch-bound on TPU
@@ -64,8 +67,9 @@ def tpu_run(try_unrolls=(1, 8)):
     def best_variant(make_run, args, label):
         """min-of-3 wall-clock over scan-unroll variants; completion forced
         by a scalar fetch (block_until_ready can return early through the
-        TPU tunnel).  Returns (best wall-clock, first variant's output —
-        identical across variants up to reassociation rounding)."""
+        TPU tunnel).  Returns (best wall-clock, winning unroll, first
+        variant's output — identical across variants up to reassociation
+        rounding)."""
         best_t, best_u, out0 = None, None, None
         for u in try_unrolls:
             run = make_run(u)
@@ -78,7 +82,7 @@ def tpu_run(try_unrolls=(1, 8)):
                 best_t, best_u = t, u
         if len(try_unrolls) > 1:
             log(f"{label}: unroll={best_u} wins ({best_t:.3f}s)")
-        return best_t, out0
+        return best_t, best_u, out0
 
     # ---------------- UNGM ----------------
     dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0), GaussRV.create(1, cov=10.0))
@@ -92,7 +96,7 @@ def tpu_run(try_unrolls=(1, 8)):
     make_ungm = lambda u: jax.jit(lambda b: jax.vmap(
         lambda yy: st.gaussian_filter(dyn, obs, ukf.tf_dyn, ukf.tf_obs, yy,
                                       unroll=u))(b).fi_mean)
-    t_ungm, out = best_variant(make_ungm, (ys,), "UNGM UKF")
+    t_ungm, u_ungm, out = best_variant(make_ungm, (ys,), "UNGM UKF")
     # `out` from the warmup call is the same pure function on the same
     # inputs — no need to burn another full 10k-batch pass for the RMSE line
     rmse_ungm = float(jnp.sqrt(jnp.mean((jnp.moveaxis(x, -1, 0) - out) ** 2)))
@@ -114,7 +118,7 @@ def tpu_run(try_unrolls=(1, 8)):
     make_re = lambda u: jax.jit(lambda b: jax.vmap(
         lambda yy: st.gaussian_filter(dyn_re, obs_re, ukf_re.tf_dyn,
                                       ukf_re.tf_obs, yy, unroll=u))(b).fi_mean)
-    t_re, _ = best_variant(make_re, (ys_re,), "Reentry UKF")
+    t_re, u_re, _ = best_variant(make_re, (ys_re,), "Reentry UKF")
     log(f"Reentry UKF {MC_RUNS}x{REENTRY_STEPS} f64: {t_re:.3f}s")
 
     # ---------------- BQ filter (GPQKF) on the same UNGM study -------------
@@ -125,13 +129,15 @@ def tpu_run(try_unrolls=(1, 8)):
     make_gpq = lambda u: jax.jit(lambda b: jax.vmap(
         lambda yy: st.gaussian_filter(dyn, obs, gpq.tf_dyn, gpq.tf_obs, yy,
                                       unroll=u))(b).fi_mean)
-    t_gpq, _ = best_variant(make_gpq, (ys,), "UNGM GPQKF")
+    t_gpq, u_gpq, _ = best_variant(make_gpq, (ys,), "UNGM GPQKF")
     log(f"UNGM GPQKF {MC_RUNS}x{UNGM_STEPS} f64: {t_gpq:.3f}s")
 
     # keep the same y data for the baseline comparison subsets
     y_np = np.asarray(y[..., :BASE_MC_UNGM])
     y_re_np = np.asarray(y_re[..., :BASE_MC_REENTRY])
-    return t_ungm + t_re + t_gpq, y_np, y_re_np
+    lanes = {"ungm_ukf": t_ungm, "reentry_ukf": t_re, "ungm_gpqkf": t_gpq}
+    unrolls = {"ungm_ukf": u_ungm, "reentry_ukf": u_re, "ungm_gpqkf": u_gpq}
+    return lanes, unrolls, y_np, y_re_np
 
 
 def baseline_reference(y_ungm, y_reentry):
@@ -262,53 +268,22 @@ def baseline_numpy(y_ungm, y_reentry):
     return t_base_ungm + t_base_re + t_base_ungm
 
 
-def _probe_backend(timeout_s: int = 120, attempts: int = 3) -> bool:
-    """Probe backend liveness; True if the configured backend initializes.
+def _probe_backend() -> bool:
+    """Backend liveness via the shared helper (ssmtoybox_tpu/utils/hostenv).
 
-    When this image's axon TPU tunnel is down, jax backend init BLOCKS
-    indefinitely (observed: >9 min at load ~0) rather than erroring; probe
-    device discovery in a disposable subprocess so a dead tunnel can't hang
-    the whole bench run.
-
-    The tunnel can FLAP within a run window (MULTICHIP/BENCH r02 both hit
-    a down phase), so a single failed probe must not zero the round's perf
-    artifact: retry with backoff, and let the caller fall back to a
-    clearly-labeled CPU run instead of exiting empty-handed.
-    """
-    import os
-    import subprocess
-    code = "import jax; print(jax.default_backend(), len(jax.devices()))"
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        # caller pinned CPU: pin the probe through the config API too — env
-        # vars alone don't stop a dead tunnel from hanging backend init
-        # (sitecustomize imports jax at interpreter start), and a CPU run
-        # needs no tunnel
-        code = ("import jax; jax.config.update('jax_platforms', 'cpu'); " + code)
-    last_err = None
-    for attempt in range(1, attempts + 1):
-        try:
-            out = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, text=True, timeout=timeout_s)
-            if out.returncode == 0:
-                log("backend probe:", out.stdout.strip())
-                return True
-            last_err = "jax backend init failed: " + out.stderr.strip()[-2000:]
-        except subprocess.TimeoutExpired:
-            last_err = (f"jax backend init did not complete within {timeout_s}s "
-                        "— TPU tunnel down? (jax.devices() hangs)")
-        log(f"backend probe attempt {attempt}/{attempts} failed: {last_err}")
-        if attempt < attempts:
-            backoff = 30 * attempt
-            log(f"retrying in {backoff}s ...")
-            time.sleep(backoff)
-    log("backend unavailable after retries:", last_err)
-    return False
+    Bounded hard at ~2 attempts x 90 s + 20 s backoff so a flapping tunnel
+    can never eat the watchdog window the way BENCH_r03's timeout did."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ssmtoybox_tpu.utils import hostenv
+    return hostenv.probe_backend(timeout_s=90, attempts=2, log=log)
 
 
-def _arm_watchdog(seconds: int = 2400) -> None:
+def _arm_watchdog(seconds: int = 1200) -> None:
     """Hard wall-clock limit: if anything inside the run blocks (e.g. the
     tunnel dies MID-run, after a healthy probe), exit 3 with a diagnostic
-    instead of hanging until the driver's bare timeout."""
+    instead of hanging until the driver's bare timeout.  1200 s is chosen to
+    sit WELL UNDER the driver's own budget (r3's rc=124 proved 2400 s was
+    not) — the metric JSON must be on stdout long before either fires."""
     import signal
 
     def _fire(signum, frame):
@@ -352,7 +327,8 @@ def main():
             "the CPU backend with a renamed metric")
     # CPU is compute-bound (unroll flat, docs/performance.md) — skip the
     # second variant's compile there; on TPU self-tune over unroll 1 vs 8
-    t_tpu, y_np, y_re_np = tpu_run(try_unrolls=(1,) if cpu_fallback else (1, 8))
+    lanes, unrolls, y_np, y_re_np = tpu_run(try_unrolls=(1,) if cpu_fallback else (1, 8))
+    t_tpu = sum(lanes.values())
     try:
         if os.path.isdir("/root/reference"):
             t_base = baseline_reference(y_np, y_re_np)
@@ -365,25 +341,8 @@ def main():
         base_kind = "local-numpy"
     log(f"TPU total: {t_tpu:.3f}s | baseline({base_kind}, extrapolated to {MC_RUNS}): {t_base:.1f}s")
 
-    # on-hardware Pallas (Mosaic) numerical validation, machine-readable
-    # (VERDICT r1 #5); a kernel regression fails the bench loudly.  The CPU
-    # fallback cannot run compiled Mosaic kernels (interpret-only backend),
-    # so validation is skipped there — the fallback metric name already
-    # flags the run as non-TPU.
-    if cpu_fallback:
-        log("pallas validation skipped: CPU fallback (no Mosaic backend)")
-    else:
-        try:
-            from tools.validate_pallas import validate
-            pallas_ok = validate(out_path=os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "PALLAS_VALIDATION.json"))["ok"]
-        except Exception as e:
-            log("pallas validation errored:", repr(e))
-            pallas_ok = False
-        if not pallas_ok:
-            log("PALLAS VALIDATION FAILED — see PALLAS_VALIDATION.json")
-            sys.exit(1)
-
+    # ---- headline JSON: printed the MOMENT it exists (BENCH_r03 lost the
+    # round's number to a timeout that landed in the validation window) ----
     # metric name is stable across rounds for the TPU path (BENCH_r01
     # comparability); the fallback is explicitly labeled with its MC count
     metric = "ungm500_ukf+gpqkf+reentry100_ukf_10k_mc_wallclock_f64"
@@ -395,7 +354,33 @@ def main():
         "value": round(t_tpu, 4),
         "unit": "s",
         "vs_baseline": round(t_base / t_tpu, 2),
-    }))
+        "lanes": {k: round(v, 4) for k, v in lanes.items()},
+        "unroll": unrolls,
+        "baseline_kind": base_kind,
+        "baseline_s": round(t_base, 1),
+    }), flush=True)
+
+    # ---- on-hardware Pallas (Mosaic) numerical validation, machine-readable
+    # (VERDICT r1 #5), AFTER the metric is out so it can only ever add signal
+    # (a kernel regression still fails the bench loudly via rc=1).  Its own
+    # alarm bounds it: if the tunnel dies mid-validation the process exits 3
+    # with the metric already on stdout.  The CPU fallback cannot run
+    # compiled Mosaic kernels (interpret-only backend), so validation is
+    # skipped there — the fallback metric name already flags the run.
+    if cpu_fallback:
+        log("pallas validation skipped: CPU fallback (no Mosaic backend)")
+    else:
+        _arm_watchdog(600)   # fresh, tighter budget for the validation phase
+        try:
+            from tools.validate_pallas import validate
+            pallas_ok = validate(out_path=os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "PALLAS_VALIDATION.json"))["ok"]
+        except Exception as e:
+            log("pallas validation errored:", repr(e))
+            pallas_ok = False
+        if not pallas_ok:
+            log("PALLAS VALIDATION FAILED — see PALLAS_VALIDATION.json")
+            sys.exit(1)
 
 
 if __name__ == "__main__":

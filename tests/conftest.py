@@ -18,31 +18,30 @@ try:
 except (ValueError, OSError):  # hard limit not adjustable: keep going
     pass
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags += " --xla_force_host_platform_device_count=8"
-if "xla_backend_optimization_level" not in _flags:
-    # the suite is XLA-compile-bound on 1-core CI hosts (the framework's
-    # unrolled small-linalg graphs are big); backend optimization level 0
-    # cuts compile ~30% and reproduces the default-level numerics to 1e-14
-    # on the heaviest program (the time-parallel iterated smoother)
-    _flags += " --xla_backend_optimization_level=0"
-os.environ["XLA_FLAGS"] = _flags
+# Shared env-hardening helpers (ssmtoybox_tpu/utils/hostenv.py), loaded by
+# file path so nothing imports jax before the env vars are pinned.  Same
+# module used by __graft_entry__.py and bench.py — one implementation of the
+# sitecustomize/tunnel dance (VERDICT r3 #3).
+import importlib.util  # noqa: E402
 
-import jax  # noqa: E402
+_spec = importlib.util.spec_from_file_location(
+    "_ssmtpu_hostenv",
+    os.path.join(os.path.dirname(__file__), "..", "ssmtoybox_tpu", "utils", "hostenv.py"))
+hostenv = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(hostenv)
+
+# the suite is XLA-compile-bound on 1-core CI hosts (the framework's
+# unrolled small-linalg graphs are big); backend optimization level 0
+# cuts compile ~30% and reproduces the default-level numerics to 1e-14
+# on the heaviest program (the time-parallel iterated smoother)
+hostenv.set_cpu_env_vars(
+    num_devices=8, extra_xla_flags=("--xla_backend_optimization_level=0",))
 
 # NOTE: this environment's sitecustomize imports jax at interpreter start and
 # registers the TPU-tunnel platform, so the env vars above can be too late —
-# force the platform + device count through the config API (effective until
-# the backend is first initialized).
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except AttributeError:  # older jax: XLA_FLAGS fallback above applies
-    pass
-jax.config.update("jax_enable_x64", True)
+# pin_cpu forces the platform + device count through the config API
+# (effective until the backend is first initialized).
+jax = hostenv.pin_cpu(num_devices=8, x64=True)
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) >= 8, "tests require 8 virtual CPU devices"
@@ -148,9 +147,21 @@ _SMOKE_PATTERNS = (
 
 
 def pytest_collection_modifyitems(config, items):
+    """Three run tiers (wall-clocks on this 1-core host):
+
+    - ``pytest -m smoke``  — ~2 min, one representative test per subsystem;
+    - ``pytest -m parity`` — ~10 min, every golden reference-parity test
+      (test_parity.py, the 1e-8 contract) without the MC-verification and
+      stress tiers — the "did I break parity?" loop;
+    - ``pytest``           — the full default profile (~15-50 min depending
+      on cache warmth), everything except ``slow``;
+    - ``pytest -m slow``   — long-record stress cases (nightly).
+    """
     for item in items:
         if any(p in item.nodeid for p in _SMOKE_PATTERNS):
             item.add_marker(pytest.mark.smoke)
+        if "test_parity.py" in item.nodeid:
+            item.add_marker(pytest.mark.parity)
 
 
 def _rss_gb() -> float:

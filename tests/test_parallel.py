@@ -90,6 +90,70 @@ def test_graft_entry_points():
     g.dryrun_multichip(8)
 
 
+_REPO = __import__("os").path.dirname(__import__("os").path.dirname(
+    __import__("os").path.abspath(__file__)))
+
+
+def _driver_like_env(xla_device_count=8):
+    """The multichip driver's environment, replicated from the image's own:
+    sitecustomize on PYTHONPATH (axon vars intact), ``JAX_PLATFORMS=cpu``,
+    ``--xla_force_host_platform_device_count=N`` — NOT tunnel-stripped."""
+    import os
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={xla_device_count}"
+    site = "/root/.axon_site"
+    if os.path.isdir(site):
+        pyp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        if site not in pyp:
+            env["PYTHONPATH"] = os.pathsep.join([site] + pyp)
+    return env
+
+
+def test_dryrun_driver_invocation():
+    """Regression for MULTICHIP_r01-r03 (red 3/3 rounds): the driver's EXACT
+    invocation — sitecustomize on PYTHONPATH, ``JAX_PLATFORMS=cpu``,
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=8``,
+    ``python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"``
+    — must exit 0.  Under sitecustomize the in-process backend ignores both
+    knobs (r3: 1 tpu device), so dryrun_multichip must route through the
+    cleaned-env bootstrap subprocess, never an in-process fast path."""
+    import subprocess, sys
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=_REPO, env=_driver_like_env(8), capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, (
+        f"driver-style dryrun failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-4000:]}")
+
+
+def test_dryrun_inprocess_backend_too_small_bootstraps():
+    """Deterministic reproduction of the r3 failure mode, tunnel-independent:
+    a process whose env advertises 8 devices but whose ALREADY-INITIALIZED
+    backend has only 1 (like sitecustomize's override) must bootstrap the
+    cleaned-env subprocess instead of asserting in-process."""
+    import subprocess, sys
+    import __graft_entry__
+    child = "\n".join([
+        "import jax",
+        "jax.config.update('jax_platforms', 'cpu')",
+        "jax.config.update('jax_num_cpu_devices', 1)",
+        "assert len(jax.devices()) == 1          # backend initialized, too small",
+        "import __graft_entry__",
+        "__graft_entry__.dryrun_multichip(8)      # must NOT assert in-process",
+    ])
+    env = __graft_entry__._cpu_env(num_devices=8)   # env says 8; backend will say 1
+    env["PYTHONPATH"] = _REPO
+    proc = subprocess.run([sys.executable, "-c", child], cwd=_REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"mismatch dryrun failed rc={proc.returncode}\n"
+        f"stderr:\n{proc.stderr[-4000:]}")
+
+
 def test_sqrt_filter_sharded(setup):
     """The f32 square-root serving path runs sharded over the dp axis: 16
     trajectories on an 8-device mesh, factors PD on every shard."""

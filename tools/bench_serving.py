@@ -94,11 +94,24 @@ def main():
             dim_state=5, state_index=[0, 1], radar_loc=np.array([6374.0, 0.0]))
         return dyn, obs
 
-    def measure(name, init, step, dim_y, batch_size=None):
+    # dp mesh over every visible device for the sharded multi-target lane
+    # (dp=1 on a single chip — same program, collective-free; the lane exists
+    # so the serving path's mesh plumbing is benchmarked where it runs)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    dp_mesh = Mesh(np.asarray(jax.devices()), axis_names=("dp",))
+
+    def measure(name, init, step, dim_y, batch_size=None, sharded=False):
         key = jax.random.PRNGKey(0)
         state = init(batch_size)
         yshape = (batch_size, dim_y) if batch_size else (dim_y,)
         ys = np.asarray(jax.random.normal(key, (args.warmup + args.steps,) + yshape))
+        if sharded:
+            shard = NamedSharding(dp_mesh, P("dp"))
+            state = jax.tree.map(
+                lambda a: jax.device_put(a, shard) if getattr(a, "ndim", 0) else a,
+                state)
+            ys = jax.device_put(jnp.asarray(ys), NamedSharding(dp_mesh, P(None, "dp")))
+            name = f"{name} dp={dp_mesh.devices.size}"
         out = None
         for i in range(args.warmup):              # compile + steady-state warm
             out = step(state, ys[i])
@@ -146,6 +159,14 @@ def main():
             init, step = make_fixed_lag_sqrt_smoother(dyn, obs, ut_d, ut_o, lag=8,
                                                       batch=batch, dtype=jnp.float32)
             rows.append(measure(f"{label} sqrt f32 fixed-lag(8)", init, step, dim_y, bs))
+        # dp-sharded multi-target lane: the mesh-routed serving path
+        # (tests/test_parallel.py::test_streaming_serving_sharded is the
+        # correctness side; this is its latency)
+        init, step = make_online_sqrt_filter(dyn, obs, ut_d, ut_o,
+                                             batch=True, dtype=jnp.float32,
+                                             donate=False)
+        rows.append(measure(f"{label} sqrt f32 UKF sharded", init, step, dim_y,
+                            args.batch, sharded=True))
     return rows
 
 
