@@ -298,37 +298,120 @@ def _arm_watchdog(seconds: int = 1200) -> None:
         pass
 
 
+def _run_phase(phase, mc, timeout_s, data_path, env=None):
+    """Run one compute phase (``tpu`` / ``cpu`` / ``validate``) of THIS
+    script in a subprocess with a hard timeout, streaming its stderr.
+
+    ``env`` REPLACES the child environment when given (the CPU fallback
+    passes a tunnel-stripped env; merging would resurrect the axon vars).
+    Returns (parsed-last-stdout-JSON-or-None, returncode-or-'timeout').
+    The parent stays jax-free, so no tunnel state can ever hang it — a
+    mid-run tunnel flap (observed: healthy probe, then tpu_run blocked >16
+    min at the first device op) costs one bounded child, not the artifact.
+    """
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase,
+           "--mc", str(mc), "--data", data_path]
+    try:
+        proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
+                              stderr=None, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"phase {phase}: timed out after {timeout_s}s (tunnel flap mid-run?)")
+        return None, "timeout"
+    parsed = None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+            break
+    return parsed, proc.returncode
+
+
+def _phase_compute(kind, data_path):
+    """Child body for ``--phase tpu`` / ``--phase cpu``: run the study
+    workloads, save the baseline measurement subsets to ``data_path`` and
+    print a lanes JSON line."""
+    if kind == "cpu":
+        # pin the tunnel-free CPU backend through the config API (env vars
+        # can be pre-empted by sitecustomize; see hostenv.pin_cpu)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ssmtoybox_tpu.utils import hostenv
+        hostenv.pin_cpu()
+        _arm_watchdog(480)      # self-bound: CPU is tunnel-free, compile-bound
+    else:
+        _arm_watchdog(720)      # backstop under the parent's own child timeout
+    # CPU is compute-bound (unroll flat, docs/performance.md) — skip the
+    # second variant's compile there; on TPU self-tune over unroll 1 vs 8
+    lanes, unrolls, y_np, y_re_np = tpu_run(try_unrolls=(1,) if kind == "cpu" else (1, 8))
+    np.savez(data_path, y=y_np, y_re=y_re_np)
+    print(json.dumps({"lanes": lanes, "unroll": unrolls}), flush=True)
+
+
+def _phase_validate():
+    """Child body for ``--phase validate``: on-hardware Pallas (Mosaic)
+    numerical validation, machine-readable (VERDICT r1 #5)."""
+    _arm_watchdog(420)
+    from tools.validate_pallas import validate
+    ok = validate(out_path=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PALLAS_VALIDATION.json"))["ok"]
+    sys.exit(0 if ok else 1)
+
+
 def main():
     import argparse
+    import tempfile
     ap = argparse.ArgumentParser()
     ap.add_argument("--mc", type=int, default=None, help="override MC_RUNS")
+    ap.add_argument("--phase", choices=["tpu", "cpu", "validate"], default=None,
+                    help="internal: run one compute phase in-process")
+    ap.add_argument("--data", default=None, help="internal: npz path for baseline subsets")
     args = ap.parse_args()
     global MC_RUNS
     if args.mc:
         MC_RUNS = args.mc
-    _arm_watchdog()
-    backend_ok = _probe_backend()
-    cpu_fallback = False
-    if not backend_ok:
+
+    # ---- child modes (the only code paths that touch jax) ----
+    if args.phase in ("tpu", "cpu"):
+        _phase_compute(args.phase, args.data)
+        return
+    if args.phase == "validate":
+        _phase_validate()
+        return
+
+    # ---- parent: jax-free orchestrator.  Every jax-touching phase runs in
+    # a bounded subprocess, so no tunnel state can cost the round's artifact
+    # (r2: dead tunnel at start; r3: driver timeout in the validation window;
+    # r4 dev run: healthy probe, then a mid-run flap hanging tpu_run).
+    _arm_watchdog(1700)          # diagnostic last resort, not the plan
+    data_path = os.path.join(tempfile.mkdtemp(prefix="bench_"), "subsets.npz")
+
+    result, cpu_fallback = None, False
+    if _probe_backend():
+        result, rc = _run_phase("tpu", MC_RUNS, 780, data_path)
+        if result is None:
+            log(f"TPU phase failed (rc={rc}); falling back to CPU")
+    if result is None:
         # Record SOMETHING for the round rather than nothing (BENCH_r02 was
-        # lost to a dead tunnel): pin the CPU backend through the config API
-        # (immune to the tunnel; see tests/conftest.py) and run a smaller,
-        # clearly-labeled fallback study.  The metric name says exactly what
-        # happened — this is NOT the TPU headline number.
+        # lost to a dead tunnel): tunnel-stripped CPU child, smaller and
+        # clearly-labeled — the metric name says this is NOT the TPU number.
         cpu_fallback = True
-        import jax
-        jax.config.update("jax_platforms", "cpu")
         MC_RUNS = min(MC_RUNS, 2000)
-        # the probe retries consumed several minutes of the watchdog budget;
-        # give the (compile-bound CPU) fallback its own full window so the
-        # watchdog can't kill the very run that exists to save the artifact
-        _arm_watchdog()
-        log(f"CPU FALLBACK: TPU tunnel unavailable; running mc={MC_RUNS} on "
-            "the CPU backend with a renamed metric")
-    # CPU is compute-bound (unroll flat, docs/performance.md) — skip the
-    # second variant's compile there; on TPU self-tune over unroll 1 vs 8
-    lanes, unrolls, y_np, y_re_np = tpu_run(try_unrolls=(1,) if cpu_fallback else (1, 8))
+        log(f"CPU FALLBACK: TPU unavailable; running mc={MC_RUNS} on the CPU backend")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ssmtoybox_tpu.utils import hostenv
+        result, rc = _run_phase("cpu", MC_RUNS, 540, data_path,
+                                env=hostenv.cpu_env())
+        if result is None:
+            log(f"FATAL: CPU fallback phase also failed (rc={rc})")
+            sys.exit(4)
+    lanes, unrolls = result["lanes"], result["unroll"]
     t_tpu = sum(lanes.values())
+
+    subsets = np.load(data_path)
+    y_np, y_re_np = subsets["y"], subsets["y_re"]
     try:
         if os.path.isdir("/root/reference"):
             t_base = baseline_reference(y_np, y_re_np)
@@ -360,25 +443,21 @@ def main():
         "baseline_s": round(t_base, 1),
     }), flush=True)
 
-    # ---- on-hardware Pallas (Mosaic) numerical validation, machine-readable
-    # (VERDICT r1 #5), AFTER the metric is out so it can only ever add signal
-    # (a kernel regression still fails the bench loudly via rc=1).  Its own
-    # alarm bounds it: if the tunnel dies mid-validation the process exits 3
-    # with the metric already on stdout.  The CPU fallback cannot run
-    # compiled Mosaic kernels (interpret-only backend), so validation is
-    # skipped there — the fallback metric name already flags the run.
+    # ---- Pallas validation AFTER the metric is out, in its own bounded
+    # child: a kernel regression still fails the bench loudly (rc=1), but a
+    # tunnel flap mid-validation is reported and exits 0 — it is a transport
+    # outage, not a numerical regression, and the metric is already printed.
+    # The CPU fallback cannot run compiled Mosaic kernels (interpret-only
+    # backend), so validation is skipped there.
     if cpu_fallback:
         log("pallas validation skipped: CPU fallback (no Mosaic backend)")
     else:
-        _arm_watchdog(600)   # fresh, tighter budget for the validation phase
-        try:
-            from tools.validate_pallas import validate
-            pallas_ok = validate(out_path=os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "PALLAS_VALIDATION.json"))["ok"]
-        except Exception as e:
-            log("pallas validation errored:", repr(e))
-            pallas_ok = False
-        if not pallas_ok:
+        _, rc = _run_phase("validate", MC_RUNS, 480, data_path)
+        if rc == "timeout":
+            log("pallas validation timed out (tunnel flap?) — metric stands, "
+                "validation UNKNOWN this run; see PALLAS_VALIDATION.json of a "
+                "previous run for the last hardware-verified state")
+        elif rc != 0:
             log("PALLAS VALIDATION FAILED — see PALLAS_VALIDATION.json")
             sys.exit(1)
 
