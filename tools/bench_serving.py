@@ -126,13 +126,25 @@ def main():
             # return early through the TPU tunnel)
             float(jnp.sum(state.mean))
             ts.append(time.perf_counter() - t0)
+        # amortized per-step latency: dispatch is async, so chaining steps
+        # with ONE final fetch removes the per-step host<->device round trip
+        # from the measurement — the p50/p99 above bound the synchronous
+        # read-every-step client; this bounds the pipelined client (and is
+        # the honest on-chip figure when the RTT is a dev-tunnel artifact).
+        t0 = time.perf_counter()
+        for i in range(args.warmup, args.warmup + args.steps):
+            state = step(state, ys[i])[0]
+        float(jnp.sum(state.mean))
+        amortized_us = (time.perf_counter() - t0) / args.steps * 1e6
         row = dict(config=name, steps=args.steps,
-                   batch=batch_size or 1, **_percentiles(ts))
+                   batch=batch_size or 1, **_percentiles(ts),
+                   amortized_us=float(amortized_us))
         if args.json:
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
         else:
             print(f"{name:>44} batch={row['batch']:>3}: "
-                  f"median {row['median_us']:8.1f} us  p99 {row['p99_us']:8.1f} us")
+                  f"median {row['median_us']:8.1f} us  p99 {row['p99_us']:8.1f} us  "
+                  f"amortized {row['amortized_us']:8.1f} us", flush=True)
         return row
 
     rows = []
