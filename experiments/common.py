@@ -146,7 +146,8 @@ def load_results(path: str):
 
 def print_tables(df: pd.DataFrame, title: str, latex: bool = False):
     print(f"\n===== {title} =====")
-    with pd.option_context("display.width", 160, "display.float_format", "{:.4f}".format):
+    with pd.option_context("display.width", 160, "display.max_columns", None,
+                           "display.float_format", "{:.4f}".format):
         print(df)
     if latex:
         print(df.to_latex(float_format="%.4f"))
