@@ -1,4 +1,7 @@
-"""Pallas TPU kernels for hot compute paths."""
+"""Pallas TPU kernels and double-double engines for hot compute paths."""
 from .pallas_ops import student_expectations, student_kxy, vandermonde
+from .ddfilter import scalar_filter_batch as dd_scalar_filter_batch
+from .ddfilter import supports as dd_filter_supports
 
-__all__ = ["student_expectations", "student_kxy", "vandermonde"]
+__all__ = ["student_expectations", "student_kxy", "vandermonde",
+           "dd_scalar_filter_batch", "dd_filter_supports"]

@@ -252,10 +252,13 @@ class ReentryVehicle2DTransition(TransitionModel):
         return super().create(init_rv, noise_rv, noise_gain, **kwargs)
 
     def _drag_gravity(self, x):
-        b = self.b0 * jnp.exp(x[4])
         R = jnp.sqrt(x[0] ** 2 + x[1] ** 2)
         V = jnp.sqrt(x[2] ** 2 + x[3] ** 2)
-        D = b * jnp.exp((self.R0 - R) / self.H0) * V
+        # algebraically fused form of b0*exp(x4) * exp((R0-R)/H0) * V
+        # (``ssmod.py:571-575`` computes the two exps separately): emulated
+        # f64 `exp` costs ~25x a mul on TPU (tools/microbench_f64.py), so one
+        # exp instead of two is the biggest single win in this model's math
+        D = self.b0 * jnp.exp(x[4] + (self.R0 - R) / self.H0) * V
         G = -self.Gm0 / R ** 3
         return D, G
 
