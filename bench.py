@@ -48,11 +48,14 @@ def tpu_run(try_unrolls=(1, 8)):
     VERDICT r3 #7).
 
     ``try_unrolls``: per workload, compile one variant per scan-unroll value
-    and keep the fastest — the sequential time loop is dispatch-bound on TPU
-    (docs/performance.md), and the best amortization factor is
-    hardware-dependent, so bench self-tunes instead of baking a guess.  All
-    variants compute identical results (unroll only restructures the loop);
-    the CPU fallback passes (1,) since it is compute-bound and flat there.
+    and keep the fastest.  All variants compute identical results (unroll
+    only restructures the loop); the CPU fallback passes (1,) since it is
+    compute-bound and flat there.  On TPU the default is now the single
+    winner (8,): unroll=8 won every lane in every r3/r4 hardware run
+    (BENCH_r03 tail, BENCH_r04; docs/performance.md), and the r4 dev session
+    measured the 6-compile (1, 8) sweep taking ~13 min through a slow
+    tunnel — past the 720 s phase watchdog that protects the round artifact.
+    Set SSMTPU_BENCH_UNROLLS=1,8 to re-sweep when re-tuning is wanted.
     """
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -344,8 +347,14 @@ def _phase_compute(kind, data_path):
     else:
         _arm_watchdog(720)      # backstop under the parent's own child timeout
     # CPU is compute-bound (unroll flat, docs/performance.md) — skip the
-    # second variant's compile there; on TPU self-tune over unroll 1 vs 8
-    lanes, unrolls, y_np, y_re_np = tpu_run(try_unrolls=(1,) if kind == "cpu" else (1, 8))
+    # second variant's compile there; on TPU use the measured winner (8,)
+    # unless SSMTPU_BENCH_UNROLLS asks for a sweep (see tpu_run docstring)
+    if kind == "cpu":
+        variants = (1,)
+    else:
+        spec = os.environ.get("SSMTPU_BENCH_UNROLLS", "8")
+        variants = tuple(int(u) for u in spec.split(",") if u.strip())
+    lanes, unrolls, y_np, y_re_np = tpu_run(try_unrolls=variants)
     np.savez(data_path, y=y_np, y_re=y_re_np)
     print(json.dumps({"lanes": lanes, "unroll": unrolls}), flush=True)
 

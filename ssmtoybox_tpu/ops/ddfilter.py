@@ -36,9 +36,13 @@ path itself, perturbed by 1e-13, reaches 8e-7 pointwise by step 200 — so
 the honest long-horizon contract is statistical: study RMSE matches the
 f64 path to ~6e-5 relative at 500 steps/256 records, the same class as
 XLA's own on-TPU emulated f64 vs CPU f64 (experiments/RESULTS.md notes the
-4th-decimal NLL shift).  Short horizons (~100 steps) stay inside the 1e-8
-pointwise parity tolerance.  The headline bench keeps the jnp-f64 lanes as
-the metric of record; the dd engines are reported as an additional lane.
+4th-decimal NLL shift).  Short horizons can stay inside the 1e-8 pointwise
+parity tolerance (the fixed-seed 100-step records of tests/test_ddfilter.py
+do), but this is record-dependent — records that pass near the UNGM map's
+high-gradient region amplify faster (tools/bench_dd.py measures ~1e-2 max
+pointwise by step 50 on some of 64 records while study RMSE agrees to 2e-6).
+The headline bench keeps the jnp-f64 lanes as the metric of record; the dd
+engines are benchmarked separately (tools/bench_dd.py).
 """
 from __future__ import annotations
 

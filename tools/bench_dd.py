@@ -1,0 +1,121 @@
+"""Double-double engine benchmark on the headline UNGM study shape.
+
+Times, at the bench.py shapes (10k trajectories x 500 steps), the three
+engines that can run the UNGM UKF/GPQKF lane:
+
+- jnp-f64 ``gaussian_filter`` (the bench lane of record, emulated f64),
+- dd ``scalar_filter_batch(engine="scan")`` — pure-f32 fused scan,
+- dd ``scalar_filter_batch(engine="pallas")`` — whole-record single-launch
+  Mosaic kernel per 512-trajectory tile,
+
+and reports per-engine wall-clock plus two precision lines against the f64
+lane: study RMSE relative deviation (the statistical contract the studies
+consume — ``research/bsq/bsq_ungm.py:130-138`` scores only filtered means)
+and short-horizon (100-step) max pointwise deviation (the 1e-8-class
+contract; long-horizon pointwise comparison is meaningless on UNGM, whose
+recursion amplifies any rounding difference chaotically —
+``ops/ddfilter.py`` module doc, tests/test_ddfilter.py).
+
+Usage: python tools/bench_dd.py [--mc 10000] [--steps 500] [--json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mc", type=int, default=10_000)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--unroll", type=int, default=8, help="scan engines' unroll")
+    ap.add_argument("--json", action="store_true", help="emit one JSON line")
+    args = ap.parse_args()
+
+    import jax
+    platform = os.environ.get("SSMTPU_PLATFORM", "").strip().lower()
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import ssmtoybox_tpu as st
+    from ssmtoybox_tpu.ops.ddfilter import scalar_filter_batch, supports
+    from ssmtoybox_tpu.ssmod import UNGMTransition, UNGMMeasurement
+    from ssmtoybox_tpu.utils import GaussRV
+
+    print("devices:", jax.devices(), file=sys.stderr)
+
+    dyn = UNGMTransition.create(GaussRV.create(1, cov=5.0),
+                                GaussRV.create(1, cov=10.0))
+    obs = UNGMMeasurement.create(GaussRV.create(1, cov=1.0), dim_state=1)
+    x = dyn.simulate_discrete(jax.random.PRNGKey(0), steps=args.steps,
+                              mc_sims=args.mc)
+    y = obs.simulate_measurements(jax.random.PRNGKey(1), x)
+    ys = jnp.moveaxis(y, -1, 0)                       # (M, 1, N)
+    x_ref = jnp.moveaxis(x, -1, 0)                    # (M, 1, N)
+
+    results = {}
+
+    def timed(label, run, *a):
+        out = run(*a)                                 # compile + warm
+        float(jnp.sum(out))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(run(*a)))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        print(f"{label:<28} {t:.4f}s", flush=True)
+        results[label] = t
+        return out
+
+    def report(cfg, tf_dyn, tf_obs):
+        print(f"--- {cfg}: UNGM {args.mc}x{args.steps} ---", flush=True)
+        assert supports(dyn, obs, tf_dyn, tf_obs)
+
+        f64_run = jax.jit(lambda b: jax.vmap(
+            lambda yy: st.gaussian_filter(dyn, obs, tf_dyn, tf_obs, yy,
+                                          unroll=args.unroll))(b).fi_mean)
+        out64 = timed(f"{cfg}/jnp_f64", f64_run, ys)
+
+        dd_scan = jax.jit(lambda b: scalar_filter_batch(
+            dyn, obs, tf_dyn, tf_obs, b, engine="scan", unroll=args.unroll))
+        out_dd = timed(f"{cfg}/dd_scan", dd_scan, ys)
+
+        dd_pal = jax.jit(lambda b: scalar_filter_batch(
+            dyn, obs, tf_dyn, tf_obs, b, engine="pallas"))
+        out_pal = timed(f"{cfg}/dd_pallas", dd_pal, ys)
+
+        # statistical contract: study RMSE vs truth, relative deviation
+        rmse = lambda o: float(jnp.sqrt(jnp.mean((x_ref - o) ** 2)))
+        r64 = rmse(out64)
+        for name, o in (("dd_scan", out_dd), ("dd_pallas", out_pal)):
+            rel = abs(rmse(o) - r64) / r64
+            results[f"{cfg}/{name}_rmse_rel_dev"] = rel
+            print(f"  {name}: study-RMSE rel dev vs f64 = {rel:.2e}", flush=True)
+        # short-horizon pointwise contract (first 100 steps)
+        h = min(100, args.steps)
+        for name, o in (("dd_scan", out_dd), ("dd_pallas", out_pal)):
+            dev = float(jnp.max(jnp.abs(out64[..., :h] - o[..., :h])))
+            results[f"{cfg}/{name}_ptwise_{h}"] = dev
+            print(f"  {name}: max |dev| first {h} steps = {dev:.2e}", flush=True)
+
+    ukf = st.UnscentedKalman(dyn, obs)
+    report("ukf", ukf.tf_dyn, ukf.tf_obs)
+
+    gpq = st.GaussianProcessKalman(dyn, obs, np.array([[1.0, 3.0]]),
+                                   np.array([[1.0, 3.0]]), points="ut")
+    report("gpqkf", gpq.tf_dyn, gpq.tf_obs)
+
+    if args.json:
+        print(json.dumps({k: round(v, 6) for k, v in results.items()}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
