@@ -60,10 +60,13 @@ def pallas_scalar_filter(step_math, y_hi, y_lo, c_hi, c_lo, m0, P0,
         return a.reshape(T, S, _LANE, N).transpose(0, 3, 1, 2)
 
     yh_t, yl_t = retile(y_hi), retile(y_lo)
-    # broadcast the per-step constants across one lane row; (N, LANE) keeps
-    # the read aligned (a (N,) vector would need an unsupported 1-D layout)
-    ch_t = jnp.broadcast_to(c_hi[:, None], (N, _LANE))
-    cl_t = jnp.broadcast_to(c_lo[:, None], (N, _LANE))
+    # per-step constants go to SMEM as (N, 1) and are read back as true
+    # scalars: a (1, LANE) VMEM slice broadcast against the (S, LANE) state
+    # needs a sublane-replicating relayout Mosaic refuses ("Invalid
+    # relayout ... replicated in destination but not in source", observed
+    # on v5e), while scalar-times-vector is native
+    ch_t = c_hi[:, None]
+    cl_t = c_lo[:, None]
 
     m0_hi = np.float32(m0)
     m0_lo = np.float32(np.float64(m0) - np.float64(m0_hi))
@@ -71,28 +74,38 @@ def pallas_scalar_filter(step_math, y_hi, y_lo, c_hi, c_lo, m0, P0,
     P0_lo = np.float32(np.float64(P0) - np.float64(P0_hi))
 
     def kernel(yh_ref, yl_ref, ch_ref, cl_ref, fh_ref, fl_ref):
-        shape = (S, _LANE)
-        m = (jnp.full(shape, m0_hi, jnp.float32),
-             jnp.full(shape, m0_lo, jnp.float32))
-        P = (jnp.full(shape, P0_hi, jnp.float32),
-             jnp.full(shape, P0_lo, jnp.float32))
+        # anchor the initial carry to loaded data: a pure splat would get
+        # Mosaic's replicated layout {*,*}, which cannot be unified with the
+        # concrete {0,0} layout the loop body produces ("Invalid relayout:
+        # ... replicated in destination but not in source", observed on v5e)
+        anchor = yh_ref[0, 0] * 0.0                                # (S, LANE)
+        m = (anchor + m0_hi, anchor + m0_lo)
+        P = (anchor + P0_hi, anchor + P0_lo)
 
         def body(k, carry):
             m, P = carry
             y = (yh_ref[0, k], yl_ref[0, k])                       # (S, LANE)
-            c = (ch_ref[pl.ds(k, 1), :], cl_ref[pl.ds(k, 1), :])   # (1, LANE)
+            # broadcast the SMEM scalars onto the concrete-layout anchor at
+            # once: keeping them scalar would drag the dd chains onto the
+            # scalar core, which Mosaic fails to legalize (i64 func.return)
+            c = (anchor + ch_ref[k, 0], anchor + cl_ref[k, 0])     # (S, LANE)
             m_fi, P_fi = step_math(m, P, y, c)
             fh_ref[0, k] = m_fi[0]
             fl_ref[0, k] = m_fi[1]
             return m_fi, P_fi
 
-        jax.lax.fori_loop(0, N, body, (m, P))
+        # i32 bounds: under x64 python-int bounds trace the counter as i64,
+        # which Mosaic fails to legalize (i64 func.return on v5e)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(N), body, (m, P))
 
     out_shape = jax.ShapeDtypeStruct((T, N, S, _LANE), jnp.float32)
-    spec = pl.BlockSpec((1, N, S, _LANE), lambda i: (i, 0, 0, 0),
+    # index-map constants must be i32: under x64 a python 0 traces to i64,
+    # which Mosaic fails to legalize (func.return (i32, i64, ...) on v5e)
+    _0 = np.int32(0)
+    spec = pl.BlockSpec((1, N, S, _LANE), lambda i: (i, _0, _0, _0),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((N, _LANE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((N, 1), lambda i: (_0, _0),
+                         memory_space=pltpu.SMEM)
     fh, fl = pl.pallas_call(
         kernel,
         grid=(T,),
