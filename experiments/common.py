@@ -79,7 +79,7 @@ def study_scores(x_true, fi_mean, fi_cov):
 
 
 def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True,
-                    warmup=True):
+                    warmup=True, engine: str = "f64"):
     """Run every filter over all MC trajectories (vmapped) and score it.
 
     ``y``/``x`` follow the reference layout (dim, steps, mc_sims).
@@ -91,16 +91,56 @@ def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True,
     smaller warm batch would compile a different program).  For very large
     banks where the doubled compute outweighs the timing nicety, pass
     ``warmup=False`` — wallclock_s then includes compilation.
+
+    ``engine`` selects the batch-filter arithmetic for Gaussian filters that
+    accept it (:meth:`GaussianInference.forward_pass_batch`): ``"f64"``
+    (default), ``"dd"`` (double-double f32-pair fast path), ``"auto"``.
+    Per filter, the engine that actually ran lands in the ``engine`` column;
+    with ``engine="dd"`` an unsupported filter (wrong transform/model class,
+    or a class without the switch — Student, marginal, square-root) falls
+    back to f64 WITH a stderr line naming the reason, so a bank mixing
+    EKF/UKF/GPQ still runs end-to-end.  The strict loud-error contract
+    lives at the API level (:func:`ssmtoybox_tpu.ssinf.gaussian_filter_batch`).
     """
+    import inspect
+
+    from ssmtoybox_tpu.ops.ddvec import dd_check
+
     ys = jnp.moveaxis(jnp.asarray(y), -1, 0)
     rows = {}
     raw = {}
+
+    def resolve_engine(name, alg):
+        if engine == "f64":
+            return "f64"
+        if "engine" not in inspect.signature(alg.forward_pass_batch).parameters:
+            if engine == "dd":
+                print(f"{name}: engine='dd' unsupported (no engine switch on "
+                      f"{type(alg).__name__}.forward_pass_batch); using f64",
+                      file=sys.stderr)
+            return "f64"
+        try:
+            dd_check(alg.mod_dyn, alg.mod_obs, alg.tf_dyn, alg.tf_obs)
+        except (ValueError, KeyError) as e:
+            if engine == "dd":
+                print(f"{name}: engine='dd' unsupported ({e}); using f64",
+                      file=sys.stderr)
+            return "f64"
+        return "dd"
+
     for name, alg in algs.items():
+        used_engine = resolve_engine(name, alg)
+
+        def fwd():
+            if used_engine == "f64":
+                return alg.forward_pass_batch(ys)
+            return alg.forward_pass_batch(ys, engine=used_engine)
+
         if warmup:
-            res = alg.forward_pass_batch(ys)
+            res = fwd()
             sync(res)      # first call: trace + compile + warm
         t0 = time.time()
-        res = alg.forward_pass_batch(ys)
+        res = fwd()
         sync(res)          # forced completion (block_until_ready can return early)
         t_run = time.time() - t0    # steady-state wall-clock, compile excluded
         scores = score_fn(jnp.asarray(x), res.fi_mean, res.fi_cov)
@@ -124,6 +164,8 @@ def run_filter_bank(algs: dict, y, x, score_fn=study_scores, verbose=True,
             row[k + "_2std"] = float(2 * np.std(vv) / np.sqrt(n_ok)) if len(vv) else float("nan")
         row["diverged"] = int(m - finite.sum())
         row["wallclock_s"] = t_run
+        if engine != "f64":
+            row["engine"] = used_engine
         rows[name] = row
         if verbose:
             print(f"{name:>12}: done in {t_run:6.3f} s", file=sys.stderr)

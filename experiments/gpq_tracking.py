@@ -3,6 +3,11 @@
 Euler-Maruyama ground truth, UKF vs GPQKF with UT points.
 
 Usage: python experiments/gpq_tracking.py [--dur 200] [--mc 20]
+                                          [--engine f64|dd|auto]
+
+``--engine dd`` runs the filters in double-double f32-pair arithmetic
+(:mod:`ssmtoybox_tpu.ops.ddvec` — the reentry lane's ~4x TPU fast path);
+scores match f64 statistically (see RESULTS.md).
 """
 import argparse
 import os
@@ -20,6 +25,7 @@ def main():
     ap.add_argument("--dur", type=float, default=200.0)
     ap.add_argument("--mc", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--engine", choices=["f64", "dd", "auto"], default="f64")
     args = ap.parse_args()
 
     setup_jax()
@@ -52,9 +58,12 @@ def main():
         "UKF": st.UnscentedKalman(dyn, obs, beta=0.0),
         "GPQKF": st.GaussianProcessKalman(dyn, obs, kpar, kpar, points="ut"),
     }
-    df, _ = run_filter_bank(algs, y, x)
-    print_tables(df[["rmse", "rmse_2std", "nci", "nll", "wallclock_s"]],
-                 f"Reentry GPQ demo, dur={args.dur}s, mc={args.mc}")
+    df, _ = run_filter_bank(algs, y, x, engine=args.engine)
+    cols = (["rmse", "rmse_2std", "nci", "nll", "wallclock_s"]
+            + (["engine"] if args.engine != "f64" else []))
+    print_tables(df[cols],
+                 f"Reentry GPQ demo, dur={args.dur}s, mc={args.mc}, "
+                 f"engine={args.engine}")
 
 
 if __name__ == "__main__":

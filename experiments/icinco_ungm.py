@@ -5,6 +5,13 @@ NCI / NLL tables for UKF, CKF, GHKF against GPQKF with SR/UT/GH point sets),
 with the sequential MC loop replaced by one vmapped program per filter.
 
 Usage: python experiments/icinco_ungm.py [--steps 500] [--mc 100] [--seed 42]
+                                         [--engine f64|dd|auto]
+
+``--engine dd`` routes every supported filter through the double-double
+f32-pair engine (:mod:`ssmtoybox_tpu.ops.ddvec`; ~2x faster on TPU, study
+scores match f64 — RESULTS.md records the equivalence); unsupported filters
+fall back to f64 with a stderr note and the table's ``engine`` column says
+which arithmetic each filter ran.
 """
 import argparse
 import sys
@@ -23,6 +30,8 @@ def main():
     ap.add_argument("--mc", type=int, default=100)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--latex", action="store_true")
+    ap.add_argument("--engine", choices=["f64", "dd", "auto"], default="f64",
+                    help="batch-filter arithmetic (see module docstring)")
     args = ap.parse_args()
 
     setup_jax()
@@ -55,10 +64,12 @@ def main():
         "GPQKF-GH7": st.GaussianProcessKalman(dyn, obs, kp_gh, kp_gh, points="gh",
                                               point_hyp={"degree": 7}),
     }
-    df, _ = run_filter_bank(algs, y, x)
-    print_tables(df[["rmse", "rmse_2std", "nci", "nci_2std", "nll", "nll_2std",
-                     "wallclock_s"]],
-                 f"UNGM, steps={args.steps}, mc={args.mc} (filtered)", args.latex)
+    df, _ = run_filter_bank(algs, y, x, engine=args.engine)
+    cols = ["rmse", "rmse_2std", "nci", "nci_2std", "nll", "nll_2std",
+            "wallclock_s"] + (["engine"] if args.engine != "f64" else [])
+    print_tables(df[cols],
+                 f"UNGM, steps={args.steps}, mc={args.mc} (filtered, "
+                 f"engine={args.engine})", args.latex)
 
 
 if __name__ == "__main__":

@@ -255,7 +255,7 @@ def _prepare(mod_dyn, mod_obs, tf_dyn, tf_obs, n_steps):
 
 def scalar_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
                         engine: str = "scan", unroll: int = 1,
-                        block_b: int = 1024):
+                        block_b: int = 1024, interpret: bool | None = None):
     """Filtered means for a batch of scalar records, double-double engine.
 
     ``data_batch``: (B, 1, N) or (B, N) f64 measurements.  Returns filtered
@@ -265,6 +265,9 @@ def scalar_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
     ``engine="scan"``: ``lax.scan`` over dd steps (any backend).
     ``engine="pallas"``: one Mosaic kernel runs the whole record per
     trajectory tile (TPU; falls back to interpret mode elsewhere).
+    ``interpret`` (pallas engine only): force interpret (True) or compiled
+    Mosaic (False) instead of the backend default — the knob
+    tools/validate_pallas.py uses for its compiled-vs-interpret check.
     """
     ys = jnp.asarray(data_batch)
     if ys.ndim == 3:
@@ -294,7 +297,7 @@ def scalar_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
     if engine == "pallas":
         from .ddscan_pallas import pallas_scalar_filter
         fm = pallas_scalar_filter(step_math, y_hi, y_lo, c_hi, c_lo,
-                                  m0, P0, block_b=block_b)
+                                  m0, P0, block_b=block_b, interpret=interpret)
         return fm[:, None, :]
 
     raise ValueError(f"unknown engine {engine!r}")

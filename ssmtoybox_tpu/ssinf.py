@@ -355,13 +355,56 @@ def gaussian_smoother(result: FilterResult, rts_full: bool = False,
 
 
 def gaussian_filter_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
-                          init_mean=None, init_cov=None) -> FilterResult:
+                          init_mean=None, init_cov=None,
+                          engine: str = "f64", unroll: int | None = None) -> FilterResult:
     """Vectorized forward pass over a batch of measurement trajectories.
 
     ``data_batch`` is (M, dim_y, N); all M trajectories run in one compiled
     program — this is the TPU replacement for the sequential MC loops of the
     research scripts (``research/bsq/bsq_ungm.py:133-138``).
+
+    ``engine`` selects the arithmetic the compiled program runs in:
+
+    - ``"f64"`` (default, the metric of record) — emulated float64 on TPU;
+      bit-stable against the reference parity goldens.
+    - ``"dd"`` — double-double f32-pair arithmetic
+      (:mod:`ssmtoybox_tpu.ops.ddvec`): ~2x faster on TPU, per-op ~2^-48
+      relative error.  Pointwise outputs agree with the f64 path to the dd
+      grain per step; study-level statistics (RMSE/NLL over a MC batch)
+      agree to ~1e-6 relative.  Only registered small-state (D <= 8)
+      additive-noise configurations are supported — a loud ``ValueError``
+      explains any unsupported piece.  Requires concrete (non-traced)
+      models/transforms: call it eagerly, it jits and caches internally.
+    - ``"auto"`` — ``"dd"`` when the configuration supports it, else
+      ``"f64"``.
+
+    ``unroll`` is the dd scan's unroll factor (default: 8 for scalar-state
+    models, whose tiny step is dispatch-bound; 1 for vector states, whose
+    unrolled step is already large — measured equal at 1 and 2 on the
+    reentry lane while unrolling multiplies its compile time).  The f64
+    path takes its unroll from the per-trajectory :func:`gaussian_filter`
+    env knob instead.
     """
+    if engine not in ("f64", "dd", "auto"):
+        raise ValueError(f"engine must be 'f64', 'dd' or 'auto'; got {engine!r}")
+    if engine != "f64":
+        from .ops import ddvec
+        try:
+            ddvec.dd_check(mod_dyn, mod_obs, tf_dyn, tf_obs)
+        except (ValueError, KeyError) as e:
+            if engine == "dd":
+                raise ValueError(
+                    f"engine='dd' cannot run this configuration: {e}") from e
+            engine = "f64"
+        else:
+            engine = "dd"
+    if engine == "dd":
+        from .ops import ddvec
+        if unroll is None:
+            unroll = 8 if mod_dyn.dim_state == 1 else 1
+        return ddvec.dd_filter_batch_jit(
+            mod_dyn, mod_obs, tf_dyn, tf_obs, data_batch,
+            init_mean=init_mean, init_cov=init_cov, unroll=unroll)
     return jax.vmap(
         lambda ys: gaussian_filter(mod_dyn, mod_obs, tf_dyn, tf_obs, ys, init_mean, init_cov)
     )(data_batch)
@@ -662,11 +705,21 @@ class GaussianInference(StateSpaceInference):
             return _jit_gaussian_smoother_full(result)
         return _jit_gaussian_smoother(result)
 
-    def forward_pass_batch(self, data_batch):
-        """Filter a whole (M, dim_y, N) batch of trajectories in one program."""
+    def forward_pass_batch(self, data_batch, engine: str = "f64"):
+        """Filter a whole (M, dim_y, N) batch of trajectories in one program.
+
+        ``engine`` as in :func:`gaussian_filter_batch`: ``"f64"`` (default),
+        ``"dd"`` (double-double f32-pair fast path for registered small-state
+        models — see its docstring for the precision contract), ``"auto"``.
+        """
+        data_batch = self._check_batch(data_batch)
+        if engine != "f64":
+            return gaussian_filter_batch(self.mod_dyn, self.mod_obs,
+                                         self.tf_dyn, self.tf_obs,
+                                         data_batch, engine=engine)
         return _jit_gaussian_filter_batch(self.mod_dyn, self.mod_obs,
                                           self.tf_dyn, self.tf_obs,
-                                          self._check_batch(data_batch))
+                                          data_batch)
 
 
 class IteratedPosteriorLinearizationKalman(GaussianInference):
@@ -1011,6 +1064,10 @@ class MarginalInference(GaussianInference):
         # compiled-variant knobs (forward_pass_compiled / forward_pass_batch)
         self.newton_iters = 15
         self.damping = 1e-3
+        #: precision of the compiled Laplace search ("float32" runs the
+        #: Newton inner loop native-f32 on TPU — see _jit_marginal); None
+        #: keeps the all-f64 behavior
+        self.inner_dtype = None
 
         # jitted primitives -------------------------------------------------
         def _predict_meas(theta, m, P, k):
@@ -1124,7 +1181,8 @@ class MarginalInference(GaussianInference):
 
 
     def forward_pass_batch(self, data_batch, newton_iters: int | None = None,
-                           damping: float | None = None):
+                           damping: float | None = None,
+                           inner_dtype: str | None = None):
         """Marginalized filtering of an (M, dim_y, N) batch in one program.
 
         Overrides the inherited plain-Gaussian batch path, which would
@@ -1132,27 +1190,35 @@ class MarginalInference(GaussianInference):
         marginalizing them.  Uses the compiled damped-Newton Laplace variant
         (:meth:`forward_pass_compiled`) vmapped over trajectories — the
         study-scale configuration (each trajectory runs its own per-step
-        parameter posterior)."""
+        parameter posterior).
+
+        ``inner_dtype="float32"`` runs the Laplace parameter search in
+        native f32 (state moments stay f64) — the TPU fast path; see
+        :meth:`_jit_marginal`."""
         data = self._check_batch(data_batch)
         res = self._jit_marginal_batch(
             self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
             self.param_prior_mean, self.param_prior_cov,
             self.newton_iters if newton_iters is None else newton_iters,
-            self.damping if damping is None else damping)
+            self.damping if damping is None else damping,
+            self.inner_dtype if inner_dtype is None else inner_dtype)
         self._result = res
         return res
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("newton_iters",))
+    @functools.partial(jax.jit, static_argnames=("newton_iters", "inner_dtype"))
     def _jit_marginal_batch(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
-                            par_mean0, par_cov0, newton_iters, damping):
+                            par_mean0, par_cov0, newton_iters, damping,
+                            inner_dtype=None):
         return jax.vmap(lambda y: MarginalInference._jit_marginal(
             mod_dyn, mod_obs, tf_dyn, tf_obs, y,
-            par_mean0, par_cov0, newton_iters, damping))(data)
+            par_mean0, par_cov0, newton_iters, damping,
+            inner_dtype=inner_dtype))(data)
 
     # -- fully-compiled variant ------------------------------------------------
     def forward_pass_compiled(self, data, newton_iters: int | None = None,
-                              damping: float | None = None):
+                              damping: float | None = None,
+                              inner_dtype: str | None = None):
         """Whole marginalized filter as one ``lax.scan`` (TPU-native variant).
 
         The reference's per-step scipy BFGS (``ssinf.py:1272``) is replaced by
@@ -1172,15 +1238,17 @@ class MarginalInference(GaussianInference):
             self.mod_dyn, self.mod_obs, self.tf_dyn, self.tf_obs, data,
             self.param_prior_mean, self.param_prior_cov,
             self.newton_iters if newton_iters is None else newton_iters,
-            self.damping if damping is None else damping)
+            self.damping if damping is None else damping,
+            self.inner_dtype if inner_dtype is None else inner_dtype)
         self.fi_mean, self.fi_cov = self._result.fi_mean, self._result.fi_cov
         self.set_flag("filtered", True)
         return self.fi_mean, self.fi_cov
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("newton_iters",))
+    @functools.partial(jax.jit, static_argnames=("newton_iters", "inner_dtype"))
     def _jit_marginal(mod_dyn, mod_obs, tf_dyn, tf_obs, data,
-                      par_mean0, par_cov0, newton_iters, damping):
+                      par_mean0, par_cov0, newton_iters, damping,
+                      inner_dtype=None):
         from . import points as pts_mod
         from .utils.linalg import gen_solve, pd_logdet, symmetrize
 
@@ -1190,6 +1258,31 @@ class MarginalInference(GaussianInference):
         wts = jnp.asarray(pts_mod.sr_weights(param_dim), data.dtype)
         eye_p = jnp.eye(param_dim, dtype=data.dtype)
 
+        # ``inner_dtype="float32"`` runs the Laplace search — 15 damped-
+        # Newton iterations of grad+Hessian through the BQ-weight
+        # re-derivation, ~90% of this filter's FLOPs — in NATIVE f32 on
+        # TPU instead of emulated f64.  The parameter posterior it produces
+        # only GATES the quadrature nodes; the state moments (and the final
+        # mixture collapse) stay in the ambient f64, so study scores match
+        # the all-f64 path to ~3 decimals (the class of the f64-emulation
+        # rounding already documented in experiments/RESULTS.md).  This is
+        # the fix for the one workload where the chip lost to the CPU host
+        # (VERDICT r4 #5: 31.1 s v5e vs 9.2 s CPU at mc=100).
+        idt = data.dtype if inner_dtype is None else jnp.dtype(inner_dtype)
+
+        def to_inner(t):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(idt)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+
+        mod_dyn_i, mod_obs_i, tf_dyn_i, tf_obs_i = to_inner(
+            (mod_dyn, mod_obs, tf_dyn, tf_obs))
+        eye_i = eye_p.astype(idt)
+        damping_i = jnp.asarray(damping, idt)
+        # f32 needs a larger floor than 1e-8 to keep tiny-posterior solves
+        # and the PD gate meaningful (f32 eps ~ 1.2e-7)
+        post_jitter = jnp.asarray(1e-8 if idt == jnp.float64 else 1e-6, idt)
+
         def predict_meas(theta, m, P, k):
             theta_dyn = jnp.exp(theta[:dyn_dim])
             theta_obs = jnp.exp(theta[dyn_dim:])
@@ -1197,7 +1290,11 @@ class MarginalInference(GaussianInference):
                                          theta_dyn, theta_obs)
 
         def neg_log_post(theta, y, m, P, k, pm, pc):
-            _, _, _, y_pr, S, _ = predict_meas(theta, m, P, k)
+            # inner-precision twin of the objective: every operand enters in
+            # ``idt`` so the whole Laplace graph stays native-precision
+            _, _, _, y_pr, S, _ = _gaussian_time_update(
+                mod_dyn_i, mod_obs_i, tf_dyn_i, tf_obs_i, m, P, k,
+                jnp.exp(theta[:dyn_dim]), jnp.exp(theta[dyn_dim:]))
             dy = y - y_pr
             loglik = -0.5 * (pd_logdet(S) + dy @ pd_solve_small(S, dy))
             dth = theta - pm
@@ -1206,12 +1303,15 @@ class MarginalInference(GaussianInference):
 
         def step(carry, inp):
             m, P, pm, pc = carry
-            y, k = inp
+            y64, k = inp
 
             # default-parameter predictive moments for the RTS smoother
             # (the reference's plain _time_update(k-1), ssinf.py:104)
             m_pr_d, P_pr_d, xx_d, _, _, _ = _gaussian_time_update(
                 mod_dyn, mod_obs, tf_dyn, tf_obs, m, P, k - 1)
+
+            y = y64.astype(idt)
+            m_i, P_i, k_i = m.astype(idt), P.astype(idt), k.astype(idt)
 
             # Safeguarded damped-Newton Laplace approximation: a step is
             # accepted only if it keeps the objective finite and non-
@@ -1220,19 +1320,19 @@ class MarginalInference(GaussianInference):
             # [-6, 6] so exp() cannot overflow the kernel expectations.
             def newton(i, carry):
                 theta, f_cur = carry
-                g = jax.grad(neg_log_post)(theta, y, m, P, k, pm, pc)
-                H = jax.hessian(neg_log_post)(theta, y, m, P, k, pm, pc)
-                delta = gen_solve(H + damping * eye_p, g)
+                g = jax.grad(neg_log_post)(theta, y, m_i, P_i, k_i, pm, pc)
+                H = jax.hessian(neg_log_post)(theta, y, m_i, P_i, k_i, pm, pc)
+                delta = gen_solve(H + damping_i * eye_i, g)
                 nrm = jnp.linalg.norm(delta)
                 delta = delta * jnp.minimum(1.0, 3.0 / (nrm + 1e-12))
 
                 cand = jnp.clip(theta - delta, -6.0, 6.0)
-                f_cand = neg_log_post(cand, y, m, P, k, pm, pc)
+                f_cand = neg_log_post(cand, y, m_i, P_i, k_i, pm, pc)
                 ok = jnp.isfinite(f_cand) & (f_cand <= f_cur)
 
                 grad_step = jnp.clip(theta - 0.1 * g / (jnp.linalg.norm(g) + 1e-12),
                                      -6.0, 6.0)
-                f_grad = neg_log_post(grad_step, y, m, P, k, pm, pc)
+                f_grad = neg_log_post(grad_step, y, m_i, P_i, k_i, pm, pc)
                 ok_grad = jnp.isfinite(f_grad) & (f_grad <= f_cur)
 
                 theta_new = jnp.where(ok, cand, jnp.where(ok_grad, grad_step, theta))
@@ -1241,10 +1341,11 @@ class MarginalInference(GaussianInference):
 
             # marginalized updates evaluate at time k, like the reference
             # (ssinf.py:110,1152) — not k-1 as in the plain time update
-            f0 = neg_log_post(pm, y, m, P, k, pm, pc)
+            f0 = neg_log_post(pm, y, m_i, P_i, k_i, pm, pc)
             theta_star, _ = jax.lax.fori_loop(0, newton_iters, newton, (pm, f0))
-            H = jax.hessian(neg_log_post)(theta_star, y, m, P, k, pm, pc)
-            pc_cand = symmetrize(gen_solve(H + damping * eye_p, eye_p)) + 1e-8 * eye_p
+            H = jax.hessian(neg_log_post)(theta_star, y, m_i, P_i, k_i, pm, pc)
+            pc_cand = (symmetrize(gen_solve(H + damping_i * eye_i, eye_i))
+                       + post_jitter * eye_i)
             # an indefinite Hessian (saddle) yields a non-PD candidate:
             # keep the previous posterior covariance in that case
             L_cand = chol_small(pc_cand)
@@ -1252,12 +1353,15 @@ class MarginalInference(GaussianInference):
             pc_new = jnp.where(pd_ok, pc_cand, pc)
             L_pc = jnp.where(pd_ok, L_cand, chol_small(pc))
 
-            # SR quadrature over parameter space; Gaussian-mixture collapse
-            theta_pts = theta_star[:, None] + L_pc @ upts
+            # SR quadrature over parameter space; Gaussian-mixture collapse.
+            # Nodes are PLACED at inner precision but each per-node Kalman
+            # update runs in the ambient f64 (state moments never leave f64)
+            theta_pts = (theta_star[:, None] + L_pc @ upts.astype(idt)
+                         ).astype(data.dtype)
 
             def one(theta):
                 m_pr, P_pr, _, y_pr, S, xy = predict_meas(theta, m, P, k)
-                return _kalman_update(m_pr, P_pr, y_pr, S, xy, y)
+                return _kalman_update(m_pr, P_pr, y_pr, S, xy, y64)
 
             means, covs = jax.vmap(one, in_axes=1)(theta_pts)
             m_new = jnp.einsum("pi,p->i", means, wts)
@@ -1278,7 +1382,8 @@ class MarginalInference(GaussianInference):
         m0, P0 = mod_dyn.init_rv.get_stats()[:2]
         ks = jnp.arange(1, data.shape[-1] + 1)
         _, (fi_m, fi_P, pr_m, pr_P, pr_xx) = jax.lax.scan(
-            step, (m0, P0, par_mean0, par_cov0), (data.T, ks))
+            step, (m0, P0, par_mean0.astype(idt), par_cov0.astype(idt)),
+            (data.T, ks))
         return FilterResult(
             fi_mean=jnp.moveaxis(fi_m, 0, -1),
             fi_cov=jnp.moveaxis(fi_P, 0, -1),
