@@ -187,3 +187,71 @@ def probe_backend(timeout_s=90, attempts=2, log=None):
             time.sleep(backoff)
     log("backend unavailable after retries:", last_err)
     return False
+
+
+def _proc_start_time(pid: int):
+    """Kernel start time of ``pid`` (field 22 of /proc/<pid>/stat) — pid
+    liveness alone is not enough, a recycled pid would mask a dead owner."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[-1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
+def enable_persistent_cache(jax, cache_dir):
+    """Dead-session-safe persistent XLA compilation cache.
+
+    Same sentinel protocol as ``tests/conftest.py`` (its docstring records
+    the failure mode: a process killed MID-WRITE leaves a truncated entry,
+    and XLA's executable deserialization hard-aborts on it — uncatchable
+    from Python).  Every consumer drops ``.in_progress.<pid>`` stamped with
+    its kernel start time; at startup, any sentinel whose recorded process
+    is gone means an owner died mid-run — wipe the cache entries once and
+    keep going cold.
+
+    Used by ``bench.py``'s jax phases: compiles dominate the bench
+    wall-clock through the dev tunnel (measured: validation 555 s wall,
+    42 s CPU), and the driver runs ``bench.py`` from this same checkout —
+    so a cache warmed by a dev-session run makes the driver's run fit its
+    budget comfortably, and a cold cache is merely the status quo.
+    """
+    import glob
+
+    stale, live = False, []
+    for path in glob.glob(os.path.join(cache_dir, ".in_progress.*")):
+        try:
+            pid = int(path.rsplit(".", 1)[-1])
+            with open(path) as f:
+                recorded_start = f.read().strip()
+        except (ValueError, OSError):
+            stale = True
+            continue
+        if recorded_start and _proc_start_time(pid) == recorded_start:
+            live.append(path)          # genuinely running concurrent owner
+        else:
+            stale = True
+    if stale:
+        keep = set(live)
+        for path in glob.glob(os.path.join(cache_dir, "*")) + \
+                glob.glob(os.path.join(cache_dir, ".in_progress.*")):
+            if path not in keep:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(os.path.join(cache_dir, f".in_progress.{os.getpid()}"), "w") as f:
+        f.write(_proc_start_time(os.getpid()) or "")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def release_persistent_cache(cache_dir):
+    """Drop this process's sentinel after a CLEAN finish (a crash leaves it,
+    which is the point — the next consumer wipes the possibly-torn cache)."""
+    try:
+        os.remove(os.path.join(cache_dir, f".in_progress.{os.getpid()}"))
+    except OSError:
+        pass

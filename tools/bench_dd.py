@@ -1,15 +1,20 @@
-"""Double-double engine benchmark on the headline UNGM study shape.
+"""Double-double engine benchmark on the headline study shapes.
 
-Times, at the bench.py shapes (10k trajectories x 500 steps), the three
-engines that can run the UNGM UKF/GPQKF lane:
+Times, at the bench.py shapes, the engines that can run each lane:
 
+UNGM UKF/GPQKF (10k trajectories x 500 steps):
 - jnp-f64 ``gaussian_filter`` (the bench lane of record, emulated f64),
 - dd ``scalar_filter_batch(engine="scan")`` — pure-f32 fused scan,
 - dd ``scalar_filter_batch(engine="pallas")`` — whole-record single-launch
   Mosaic kernel per 512-trajectory tile,
 
-and reports per-engine wall-clock plus two precision lines against the f64
-lane: study RMSE relative deviation (the statistical contract the studies
+Reentry UKF (10k trajectories x 100 steps, 5-D state; the lane that was
+55% of the r4 headline):
+- jnp-f64 ``gaussian_filter``,
+- the r5 VECTOR dd engine ``ddvec.dd_filter_batch`` (full moment set).
+
+Per engine: wall-clock plus two precision lines against the f64 lane —
+study RMSE relative deviation (the statistical contract the studies
 consume — ``research/bsq/bsq_ungm.py:130-138`` scores only filtered means)
 and short-horizon (100-step) max pointwise deviation (the 1e-8-class
 contract; long-horizon pointwise comparison is meaningless on UNGM, whose
@@ -111,6 +116,45 @@ def main():
     gpq = st.GaussianProcessKalman(dyn, obs, np.array([[1.0, 3.0]]),
                                    np.array([[1.0, 3.0]]), points="ut")
     report("gpqkf", gpq.tf_dyn, gpq.tf_obs)
+
+    # ---- reentry lane: the r5 vector dd engine ---------------------------
+    from ssmtoybox_tpu.ssmod import ReentryVehicle2DTransition, Radar2DMeasurement
+    from ssmtoybox_tpu.ops.ddvec import dd_filter_batch, dd_supports
+
+    re_steps = min(args.steps, 100)           # bench.py REENTRY_STEPS
+    dyn_re = ReentryVehicle2DTransition.create(
+        GaussRV.create(5, mean=np.array([6500.4, 349.14, -1.8093, -6.7967, 0.6932]),
+                       cov=np.diag([1e-6, 1e-6, 1e-6, 1e-6, 1.0])),
+        GaussRV.create(3, cov=np.diag([2.4064e-5, 2.4064e-5, 1e-6])), dt=0.05)
+    obs_re = Radar2DMeasurement.create(GaussRV.create(2, cov=np.diag([1e-3, 1e-5])),
+                                       dim_state=5, state_index=[0, 1],
+                                       radar_loc=np.array([6374.0, 0.0]))
+    x_re = dyn_re.simulate_discrete(jax.random.PRNGKey(2), steps=re_steps,
+                                    mc_sims=args.mc)
+    y_re = obs_re.simulate_measurements(jax.random.PRNGKey(3), x_re)
+    ys_re = jnp.moveaxis(y_re, -1, 0)
+    x_ref_re = jnp.moveaxis(x_re, -1, 0)
+    ukf_re = st.UnscentedKalman(dyn_re, obs_re)
+    assert dd_supports(dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs)
+    print(f"--- reentry ukf: {args.mc}x{re_steps} ---", flush=True)
+
+    f64_re = jax.jit(lambda b: jax.vmap(
+        lambda yy: st.gaussian_filter(dyn_re, obs_re, ukf_re.tf_dyn,
+                                      ukf_re.tf_obs, yy, unroll=1))(b).fi_mean)
+    out64_re = timed("reentry/jnp_f64", f64_re, ys_re)
+    dd_re = jax.jit(lambda b: dd_filter_batch(
+        dyn_re, obs_re, ukf_re.tf_dyn, ukf_re.tf_obs, b).fi_mean)
+    out_dd_re = timed("reentry/dd_vec", dd_re, ys_re)
+
+    rmse_re = lambda o: float(jnp.sqrt(jnp.mean((x_ref_re - o) ** 2)))
+    r64 = rmse_re(out64_re)
+    rel = abs(rmse_re(out_dd_re) - r64) / r64
+    results["reentry/dd_vec_rmse_rel_dev"] = rel
+    print(f"  dd_vec: study-RMSE rel dev vs f64 = {rel:.2e}", flush=True)
+    h = min(100, re_steps)
+    dev = float(jnp.max(jnp.abs(out64_re[..., :h] - out_dd_re[..., :h])))
+    results[f"reentry/dd_vec_ptwise_{h}"] = dev
+    print(f"  dd_vec: max |dev| first {h} steps = {dev:.2e}", flush=True)
 
     if args.json:
         print(json.dumps({k: round(v, 6) for k, v in results.items()}),

@@ -136,15 +136,44 @@ def main():
             state = step(state, ys[i])[0]
         float(jnp.sum(state.mean))
         amortized_us = (time.perf_counter() - t0) / args.steps * 1e6
+
+        # co-located bound (VERDICT r4 #7): the sync-client rows above are
+        # dominated by the dev-tunnel RTT (~30 ms), which says nothing about
+        # a co-located deployment.  Chain the SAME step inside one compiled
+        # lax.scan — each iteration data-depends on the last, so total/steps
+        # is the true on-device per-step execution latency, the floor a
+        # co-located synchronous client sits just above (plus one local
+        # dispatch, ~10-30 us on a PCIe-attached host).
+        ys_dev = jnp.asarray(ys[args.warmup:])
+        if sharded:
+            ys_dev = jax.device_put(ys_dev, NamedSharding(dp_mesh, P(None, "dp")))
+
+        @jax.jit
+        def chain(state0, ys_block):
+            return jax.lax.scan(lambda s, y: (step(s, y)[0], None),
+                                state0, ys_block)[0]
+
+        st_dev = chain(state, ys_dev)            # compile + warm
+        jax.block_until_ready(st_dev)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(chain(state, ys_dev).mean))
+            dt_c = time.perf_counter() - t0
+            best = dt_c if best is None else min(best, dt_c)
+        ondevice_us = best / args.steps * 1e6
+
         row = dict(config=name, steps=args.steps,
                    batch=batch_size or 1, **_percentiles(ts),
-                   amortized_us=float(amortized_us))
+                   amortized_us=float(amortized_us),
+                   ondevice_us=float(ondevice_us))
         if args.json:
             print(json.dumps(row), flush=True)
         else:
             print(f"{name:>44} batch={row['batch']:>3}: "
                   f"median {row['median_us']:8.1f} us  p99 {row['p99_us']:8.1f} us  "
-                  f"amortized {row['amortized_us']:8.1f} us", flush=True)
+                  f"amortized {row['amortized_us']:8.1f} us  "
+                  f"ondevice {row['ondevice_us']:8.1f} us", flush=True)
         return row
 
     rows = []
