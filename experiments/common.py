@@ -30,6 +30,17 @@ def setup_jax(use_x64: bool = True):
         jax.config.update("jax_platforms", platform)
     if use_x64:
         jax.config.update("jax_enable_x64", True)
+    # Persistent XLA compilation cache (shared with bench.py): through the
+    # dev tunnel, compile time dominates study wall-clock — the compiled
+    # marginal filter alone compiles for tens of minutes — and re-runs of
+    # the same study shapes are common.  SSMTPU_COMPILE_CACHE=0 disables.
+    if os.environ.get("SSMTPU_COMPILE_CACHE", "1") != "0":
+        import atexit
+        from ssmtoybox_tpu.utils import hostenv
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_bench_cache")
+        hostenv.enable_persistent_cache(jax, cache)
+        atexit.register(hostenv.release_persistent_cache, cache)
 
 
 @jax.jit

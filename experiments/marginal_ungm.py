@@ -19,8 +19,12 @@ Usage: python experiments/marginal_ungm.py [--steps 100] [--mc 100] [--seed 42]
 ``--inner f32`` runs the Laplace parameter search (the Newton inner loop,
 ~90% of the filter's FLOPs) in native f32 instead of emulated f64 — the TPU
 fast path that removes the one chip-loses-to-CPU inversion in the suite
-(VERDICT r4 #5); state moments stay f64 and scores match the all-f64 run
-to ~3 decimals (RESULTS.md records both).
+(VERDICT r4 #5: 31.1 s -> 1.4 s at mc=100).  State moments stay f64.
+Precision: the per-step parameter posterior is multimodal and mode
+selection is precision-sensitive, so this is a documented METHOD VARIANT —
+study scores land within the method spread (same class as the
+BFGS-vs-Newton spread) with the calibration conclusions unchanged, not a
+bit-compatible substitution; RESULTS.md records both runs side by side.
 """
 import argparse
 import sys

@@ -1263,11 +1263,19 @@ class MarginalInference(GaussianInference):
         # re-derivation, ~90% of this filter's FLOPs — in NATIVE f32 on
         # TPU instead of emulated f64.  The parameter posterior it produces
         # only GATES the quadrature nodes; the state moments (and the final
-        # mixture collapse) stay in the ambient f64, so study scores match
-        # the all-f64 path to ~3 decimals (the class of the f64-emulation
-        # rounding already documented in experiments/RESULTS.md).  This is
-        # the fix for the one workload where the chip lost to the CPU host
-        # (VERDICT r4 #5: 31.1 s v5e vs 9.2 s CPU at mc=100).
+        # mixture collapse) stay in the ambient f64.  This is the fix for
+        # the one workload where the chip lost to the CPU host (VERDICT r4
+        # #5: 31.1 s v5e vs 9.2 s CPU at mc=100 — f32 inner runs it in
+        # 1.4 s).  Precision contract (measured, experiments/RESULTS.md):
+        # step-1 agreement with the f64 inner path is ~5e-5; from step 2 on
+        # the per-step parameter posterior is MULTIMODAL and mode selection
+        # is precision-sensitive, so pointwise trajectories diverge (the
+        # same property the BFGS-vs-Newton gate quantifies,
+        # tests/test_parity.py::test_marginal_bfgs_vs_newton_quantified) —
+        # study-level scores land within the method spread and the
+        # calibration conclusions are unchanged, but this is a documented
+        # method variant, not a bit-compatible fast path; the all-f64
+        # inner loop stays the default.
         idt = data.dtype if inner_dtype is None else jnp.dtype(inner_dtype)
 
         def to_inner(t):

@@ -450,6 +450,29 @@ class TestCompiledMarginal:
         assert fm.shape == (3, 1, 5)
         assert bool(jnp.isfinite(fm).all())
 
+    def test_compiled_marginal_inner_f32(self, ungm, fresh_executable_state):
+        """``inner_dtype="float32"`` runs the Laplace parameter search
+        native-f32 (the TPU fast path, 31.1 s -> 1.4 s at study scale) while
+        the state moments stay in the ambient f64.  Contract: step-1
+        agreement with the all-f64 inner path is tight (same unimodal
+        Laplace target from the same prior); later steps may settle in
+        different modes of the multimodal per-step posterior (same method
+        spread as BFGS-vs-Newton above; study-level drift is quantified in
+        experiments/RESULTS.md), so the stable invariants are finiteness,
+        PD covariances, and ambient-dtype outputs."""
+        dyn, obs = ungm
+        x = dyn.simulate_discrete(jax.random.PRNGKey(6), steps=6, mc_sims=1)
+        y = obs.simulate_measurements(jax.random.PRNGKey(7), x)[..., 0]
+        alg = st.ssinf.MarginalizedGaussianProcessKalman(dyn, obs)
+        fm64, _ = alg.forward_pass_compiled(y)
+        alg.reset()
+        fm32, fP32 = alg.forward_pass_compiled(y, inner_dtype="float32")
+        assert fm32.dtype == fm64.dtype        # state moments stay f64
+        np.testing.assert_allclose(fm32[:, :1], fm64[:, :1],
+                                   rtol=0.05, atol=0.05)
+        assert bool(jnp.isfinite(fm32).all()) and bool(jnp.isfinite(fP32).all())
+        assert bool((fP32[0, 0, :] > 0).all())
+
     def test_forward_pass_batch_is_marginalized(self, ungm, fresh_executable_state):
         """MarginalInference.forward_pass_batch must run the MARGINALIZED
         compiled filter per trajectory (the inherited plain-Gaussian batch
