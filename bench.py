@@ -352,11 +352,16 @@ def baseline_numpy(y_ungm, y_reentry):
 def _probe_backend() -> bool:
     """Backend liveness via the shared helper (ssmtoybox_tpu/utils/hostenv).
 
-    Bounded hard at ~2 attempts x 90 s + 20 s backoff so a flapping tunnel
-    can never eat the watchdog window the way BENCH_r03's timeout did."""
+    Bounded hard at ~2 attempts x 120 s + 20 s backoff so a flapping tunnel
+    can never eat the watchdog window the way BENCH_r03's timeout did.
+    ``compute=True`` because enumeration alone can succeed while the
+    compute queue is wedged behind an orphaned server-side compile
+    (observed 2026-08-21, >1 h) — that wedge must cost one 120 s probe,
+    not the 780 s tpu phase."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ssmtoybox_tpu.utils import hostenv
-    return hostenv.probe_backend(timeout_s=90, attempts=2, log=log)
+    return hostenv.probe_backend(timeout_s=120, attempts=2, log=log,
+                                 compute=True)
 
 
 def _arm_watchdog(seconds: int = 1200) -> None:

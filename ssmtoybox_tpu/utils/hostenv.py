@@ -153,14 +153,27 @@ def in_process_device_count():
         return 0
 
 
-def probe_backend(timeout_s=90, attempts=2, log=None):
+def probe_backend(timeout_s=90, attempts=2, log=None, compute=False):
     """Probe backend liveness in a disposable subprocess; True if the
     configured backend initializes.  Retries with bounded backoff — the
     tunnel can flap within a run window, but the probe must never eat the
-    caller's whole budget (BENCH_r03 died to exactly that)."""
+    caller's whole budget (BENCH_r03 died to exactly that).
+
+    ``compute=True`` additionally runs one tiny matmul to completion.
+    Device ENUMERATION can succeed while the compute queue is blocked —
+    observed 2026-08-21: an orphaned server-side compile (a killed client's
+    in-flight XLA compile keeps running remotely) left ``jax.devices()``
+    answering for over an hour while every enqueue hung.  A caller about
+    to spend its budget on real work should probe with ``compute=True`` so
+    that wedge class is detected in one bounded probe instead of one
+    bounded work phase."""
     if log is None:
         log = lambda *a: print(*a, file=sys.stderr, flush=True)
     code = "import jax; print(jax.default_backend(), len(jax.devices()))"
+    if compute:
+        code = ("import jax, jax.numpy as jnp; "
+                "print(jax.default_backend(), len(jax.devices())); "
+                "print(float(jnp.sum(jnp.ones((64,64)) @ jnp.ones((64,64)))))")
     env = None
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         # caller pinned CPU: strip the tunnel + pin through the config API —

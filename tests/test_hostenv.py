@@ -68,3 +68,41 @@ def test_in_process_count_never_initializes(tmp_path):
 def test_child_pin_lines_compile():
     src = "\n".join(hostenv.child_pin_lines(num_devices=4))
     compile(src, "<child>", "exec")   # syntactically valid child preamble
+
+
+def test_probe_backend_compute_mode(monkeypatch):
+    """``compute=True`` must run one real matmul to completion — device
+    ENUMERATION can succeed while the compute queue is wedged behind an
+    orphaned server-side compile (observed 2026-08-21: >1 h of answering
+    ``jax.devices()`` with every enqueue hung), so the bench probes with a
+    compute op.  Pinned to CPU here: the contract under test is that the
+    probe subprocess completes the op, not tunnel state."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert hostenv.probe_backend(timeout_s=120, attempts=1, compute=True)
+
+
+def test_probe_backend_detects_blocked_compute(monkeypatch):
+    """A backend whose compute hangs must fail the compute probe within the
+    bound (simulated: the probe subprocess sleeps forever in place of the
+    matmul via a stub jax on PYTHONPATH)."""
+    import textwrap, tempfile
+    d = tempfile.mkdtemp()
+    os.makedirs(os.path.join(d, "jax"), exist_ok=True)
+    with open(os.path.join(d, "jax", "__init__.py"), "w") as f:
+        f.write(textwrap.dedent("""
+            class _Cfg:
+                def update(self, *a, **k): pass
+            config = _Cfg()
+            def default_backend(): return "stub"
+            def devices(): return ["stub0"]
+        """))
+    with open(os.path.join(d, "jax", "numpy.py"), "w") as f:
+        f.write(textwrap.dedent("""
+            def ones(*a, **k):          # enumeration fine, enqueue wedged
+                import time
+                time.sleep(3600)
+            def sum(*a, **k): return 0.0
+        """))
+    monkeypatch.setenv("PYTHONPATH", d)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert not hostenv.probe_backend(timeout_s=8, attempts=1, compute=True)

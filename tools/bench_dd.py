@@ -47,6 +47,15 @@ def main():
     if platform:
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache shared with bench.py (compiles dominate
+    # through the dev tunnel; SSMTPU_COMPILE_CACHE=0 disables)
+    if os.environ.get("SSMTPU_COMPILE_CACHE", "1") != "0":
+        import atexit
+        from ssmtoybox_tpu.utils import hostenv
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_bench_cache")
+        hostenv.enable_persistent_cache(jax, cache)
+        atexit.register(hostenv.release_persistent_cache, cache)
     import jax.numpy as jnp
     import ssmtoybox_tpu as st
     from ssmtoybox_tpu.ops.ddfilter import scalar_filter_batch, supports
