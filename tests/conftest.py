@@ -188,8 +188,23 @@ def _rss_gb() -> float:
 _CLEAR_CACHES_ABOVE_GB = 16.0
 
 
+#: Modules whose compiles are large enough to hit the late-session XLA
+#: (de)serialization crash (`Fatal Python error: Aborted`/segfault inside
+#: ``put_executable_and_time``) when hundreds of live executables have
+#: already accumulated — observed 2026-08-21 at ~66% of a cold full run,
+#: inside test_sqrt.py, twice, solo, while individual tiers stay green.
+#: Same failure class the ``fresh_executable_state`` fixture below guards
+#: for the marginal tests; pre-clearing at entry of the heavy modules keeps
+#: their big compiles within safe accumulated state (the disk cache makes
+#: the dropped warm programs cheap to restore).
+_PRECLEAR_MODULES = ("test_sqrt", "test_shardtime", "test_parallel",
+                     "test_parity")
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
+def _clear_jax_caches_between_modules(request):
+    if getattr(request.module, "__name__", "").split(".")[-1] in _PRECLEAR_MODULES:
+        jax.clear_caches()
     yield
     if _rss_gb() > _CLEAR_CACHES_ABOVE_GB:
         jax.clear_caches()
